@@ -1,0 +1,150 @@
+"""DuckDB oracle SQL mirroring the synthetic crawl derivation 1:1.
+
+The crawl pipeline's input and content are pure functions of the driver
+tables + md5 (see ``synth.py``), so every stage is reproducible in ANSI
+SQL over the pre-registered parquet views.  This module generates the
+CTE chain; ``__ray_entry__.oracle_sql`` composes final SELECTs from it.
+
+Verified equivalences (DuckDB 1.0):
+- ``('0x' || substr(md5(x), a, n))::BIGINT`` == Python ``int(md5[a-1:a-1+n], 16)``
+- ``printf('%.1f折', t/10.0)``             == Python ``f"{t/10:.1f}折"``
+- ``strftime(DATE '2026-01-01' + d, '%Y-%m-%d')`` == ``(BASE_DATE+timedelta(d)).isoformat()``
+"""
+
+from __future__ import annotations
+
+from .. import synth
+
+
+def _hx(h_expr: str, start0: int, length: int) -> str:
+    """SQL for int(h[start0:start0+length], 16) — start0 is 0-based."""
+    return f"(('0x' || substr({h_expr}, {start0 + 1}, {length}))::BIGINT)"
+
+
+def _case_list(expr: str, values: list[str]) -> str:
+    """CASE expr WHEN i THEN values[i] ... END (expr ∈ [0,len))."""
+    whens = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(values))
+    return f"CASE {expr} {whens} END"
+
+
+_COMPANY_NAMES = [c for c, _ in synth.COMPANIES]
+_COMPANY_CODES = [k for _, k in synth.COMPANIES]
+
+# ---------------------------------------------------------------- CTE chain
+SEEDS_CTE = """
+nat AS (
+  SELECT n_nationkey, n_name,
+         upper(substr(n_name, 1, 3)) || CAST(n_nationkey AS VARCHAR) AS code
+  FROM nation
+),
+seeds_raw AS (
+  SELECT c.c_custkey AS seed_id,
+    CASE c.c_custkey % 50 WHEN 0 THEN '北京' WHEN 1 THEN '武隆' ELSE n1.n_name END AS from_city_name,
+    CASE c.c_custkey % 50 WHEN 0 THEN 'PKX' WHEN 1 THEN 'CQW' ELSE n1.code END AS from_city_code,
+    CASE c.c_custkey % 41 WHEN 0 THEN '北京' WHEN 1 THEN '武隆' ELSE n2.n_name END AS to_city_name,
+    CASE c.c_custkey % 41 WHEN 0 THEN 'PEK' WHEN 1 THEN 'CQW' ELSE n2.code END AS to_city_code
+  FROM customer c
+  JOIN nat n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN nat n2 ON n2.n_nationkey = (c.c_custkey * 7) % 25
+),
+seeds AS (
+  SELECT seed_id,
+    CASE WHEN from_city_name = '武隆' THEN '重庆' ELSE from_city_name END AS from_city_name,
+    CASE WHEN from_city_name = '北京' THEN 'BJS' ELSE from_city_code END AS from_city_code,
+    CASE WHEN to_city_name = '武隆' THEN '重庆' ELSE to_city_name END AS to_city_name,
+    CASE WHEN to_city_name = '北京' THEN 'BJS' ELSE to_city_code END AS to_city_code
+  FROM seeds_raw
+)"""
+
+FRONTIER_CTE = f"""
+frontier_all AS (
+  SELECT s.seed_id AS seed_index,
+    CAST(d.day_offset AS BIGINT) AS day_offset,
+    strftime(DATE '{synth.BASE_DATE_STR}' + CAST(d.day_offset AS INTEGER), '%Y-%m-%d') AS flight_time,
+    lower(s.to_city_code) || '.flights.test' AS host,
+    'https://' || lower(s.to_city_code) || '.flights.test/flightlist/'
+      || s.from_city_code || '-' || s.to_city_code || '/'
+      || strftime(DATE '{synth.BASE_DATE_STR}' + CAST(d.day_offset AS INTEGER), '%Y-%m-%d') AS url,
+    s.from_city_name, s.from_city_code, s.to_city_name, s.to_city_code
+  FROM seeds s CROSS JOIN (SELECT range AS day_offset FROM range({synth.N_DAYS})) d
+),
+frontier AS (
+  SELECT * FROM frontier_all
+  QUALIFY row_number() OVER (PARTITION BY url ORDER BY seed_index, day_offset) = 1
+)"""
+
+_H = "md5(url)"
+FETCH_CTE = f"""
+fetched AS (
+  SELECT *,
+    CASE {_hx(_H, 0, 1)} WHEN 0 THEN 0 WHEN 1 THEN 403 WHEN 2 THEN 500 ELSE 200 END AS status,
+    CASE WHEN {_hx(_H, 0, 1)} = 0 THEN 'timeout' ELSE NULL END AS error,
+    CASE WHEN {_hx(_H, 0, 1)} >= 3 THEN 1 + {_hx(_H, 1, 1)} % 5 ELSE 0 END AS n_flights
+  FROM frontier
+)"""
+
+_H2 = "md5(url || '#' || CAST(f.flight_idx AS VARCHAR))"
+FLIGHTS_CTE = f"""
+flights AS (
+  SELECT fetched.*, CAST(f.flight_idx AS BIGINT) AS flight_idx,
+    'doc-' || md5(url) AS doc_id,
+    {_H2} AS h2
+  FROM fetched
+  CROSS JOIN (SELECT range AS flight_idx FROM range(5)) f
+  WHERE fetched.status = 200 AND f.flight_idx < fetched.n_flights
+),
+records AS (
+  SELECT url, doc_id, seed_index, day_offset, flight_idx,
+    CASE WHEN {_hx('h2', 20, 1)} = 0 THEN 'captcha://' || substr(h2, 1, 16) ELSE NULL END AS media_ref,
+    {_case_list(f"{_hx('h2', 0, 1)} % 6", _COMPANY_NAMES)} AS company,
+    {_case_list(f"{_hx('h2', 0, 1)} % 6", _COMPANY_CODES)} AS company_no,
+    {_case_list(f"{_hx('h2', 0, 1)} % 6", _COMPANY_CODES)}
+      || CAST(1000 + {_hx('h2', 1, 4)} % 9000 AS VARCHAR) AS plane_no,
+    printf('%02d:%02d', {_hx('h2', 5, 2)} % 24, ({_hx('h2', 7, 2)} % 12) * 5) AS start_time,
+    printf('%02d:%02d',
+      ((({_hx('h2', 5, 2)} % 24) * 60 + ({_hx('h2', 7, 2)} % 12) * 5
+        + 60 + {_hx('h2', 9, 2)} % 180) % 1440) // 60,
+      ((({_hx('h2', 5, 2)} % 24) * 60 + ({_hx('h2', 7, 2)} % 12) * 5
+        + 60 + {_hx('h2', 9, 2)} % 180) % 1440) % 60) AS end_time,
+    from_city_name AS from_city, from_city_code,
+    to_city_name AS to_city, to_city_code,
+    TIMESTAMP '{synth.CREATE_TIME_STR}' AS create_time,
+    printf('%.1f折', (20 + {_hx('h2', 15, 2)} % 80) / 10.0) AS discount,
+    flight_time AS off_date,
+    '{synth.PLATFORM}' AS platform,
+    CAST(200 + {_hx('h2', 11, 4)} % 1800 AS VARCHAR) AS price,
+    CASE WHEN {_hx('h2', 17, 1)} < 3 THEN '经停' ELSE '' END AS flight_type,
+    '73' || CAST({_hx('h2', 19, 1)} % 10 AS VARCHAR) AS plane_type,
+    CASE WHEN {_hx('h2', 17, 1)} < 3
+         THEN {_case_list(_hx('h2', 18, 1), synth.TRANSFER_CITIES)} ELSE '' END AS flight_transfer,
+    '' AS from_city_airport, '' AS to_city_airport,
+    '{synth.TASK_TIME}' AS task_time, '{synth.SERVER_IP}' AS server_ip,
+    CAST(n_flights AS BIGINT) AS flight_number,
+    CAST(NULL AS BIGINT) AS lep_price,
+    CAST(NULL AS VARCHAR) AS is_meal,
+    CAST(NULL AS BIGINT) AS baggage
+  FROM flights
+)"""
+
+SPANS_CTE = """
+spans AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY flight_idx, s.slot) - 1 AS BIGINT) AS "offset",
+    CASE WHEN s.slot = 6 THEN 'media' ELSE 'text' END AS kind,
+    CASE s.slot WHEN 0 THEN plane_no WHEN 1 THEN company WHEN 2 THEN start_time
+                WHEN 3 THEN end_time WHEN 4 THEN price WHEN 5 THEN discount
+                ELSE NULL END AS text,
+    CASE WHEN s.slot = 6 THEN media_ref ELSE NULL END AS media_ref
+  FROM records
+  CROSS JOIN (SELECT range AS slot FROM range(7)) s
+  WHERE s.slot < 6 OR (s.slot = 6 AND records.media_ref IS NOT NULL)
+)"""
+
+
+def with_chain(*ctes: str) -> str:
+    return "WITH " + ",".join(c.strip().removeprefix("WITH") for c in ctes)
+
+
+CRAWL_BASE = with_chain(SEEDS_CTE, FRONTIER_CTE, FETCH_CTE)
+CRAWL_FULL = with_chain(SEEDS_CTE, FRONTIER_CTE, FETCH_CTE, FLIGHTS_CTE)
+CRAWL_SPANS = with_chain(SEEDS_CTE, FRONTIER_CTE, FETCH_CTE, FLIGHTS_CTE, SPANS_CTE)

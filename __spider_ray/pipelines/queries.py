@@ -1,0 +1,183 @@
+"""Registry of correctness-checkable queries (driver contract).
+
+Each entry: name → (callable(sf_dir) -> Dataset/DataFrame/Table,
+oracle_sql or None).  ``__ray_entry__`` exposes these to the driver,
+which runs both sides at sf0.01 and compares row-count + schema +
+order-insensitive value hash.  Column names/aliases match the SQL
+exactly (driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import pyarrow as pa
+import ray.data
+
+from . import crawl, oracle_sqlgen as osql
+
+# name → (ray_callable, oracle_sql | None)
+_REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {}
+
+
+def register(name: str, fn: Callable[[str], Any], sql: str | None) -> None:
+    _REGISTRY[name] = (fn, sql)
+
+
+def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
+    _ensure_builtin()
+    return dict(_REGISTRY)
+
+
+def _cast_int64(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    """Cast int32 columns to int64 so Arrow types line up with DuckDB
+    BIGINT defaults in the driver's schema compare."""
+    def f(t: pa.Table) -> pa.Table:
+        for c in cols:
+            if c in t.column_names:
+                t = t.set_column(t.schema.get_field_index(c), c, t[c].cast(pa.int64()))
+        return t
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ crawl
+def _crawl_seeds(sf_dir: str):
+    from ..stages.expand import seeds_dataset
+    return seeds_dataset(sf_dir)
+
+
+def _crawl_frontier(sf_dir: str):
+    ds = crawl.frontier(sf_dir)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        meta = t["meta"].combine_chunks()
+        return pa.table(
+            {
+                "url": t["url"],
+                "host": t["host"],
+                "seed_index": t["seed_index"],
+                "day_offset": t["day_offset"].cast(pa.int64()),
+                "flight_time": meta.field("flight_time"),
+            }
+        )
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+def _crawl_fetch(sf_dir: str):
+    ds = crawl.fetched(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "status": t["status"].cast(pa.int64()),
+                "error": t["error"],
+            }
+        )
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def _crawl_flights(sf_dir: str):
+    ds = crawl.flight_records(sf_dir)
+    ds = _cast_int64(ds, ["day_offset", "flight_idx", "flight_number",
+                          "lep_price", "baggage"])
+    return ds
+
+
+def _crawl_spans(sf_dir: str):
+    ds = crawl.exploded_spans(sf_dir)
+    return _cast_int64(ds, ["offset"])
+
+
+def _crawl_od_counts(sf_dir: str):
+    """A2 — flights per (OD, date) (ctripSpider.py:295-316)."""
+    ds = crawl.flight_records(sf_dir)
+    out = ds.groupby(["from_city_code", "to_city_code", "off_date"]).count()
+    return out.rename_columns({"count()": "n_flights"})
+
+
+def _crawl_min_price(sf_dir: str):
+    """A4/O1 — grouped argmin: cheapest flight per (OD, date)
+    (ylSpider06.py:536-541 sort-asc-take-first semantics)."""
+    ds = crawl.flight_records(sf_dir)
+
+    def add_price_int(t: pa.Table) -> pa.Table:
+        return t.append_column("price_int", t["price"].cast(pa.int64()))
+
+    def argmin(g: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            g, sort_keys=[("price_int", "ascending"), ("plane_no", "ascending")])
+        row = g.take(idx[:1])
+        return pa.table(
+            {
+                "from_city_code": row["from_city_code"],
+                "to_city_code": row["to_city_code"],
+                "off_date": row["off_date"],
+                "plane_no": row["plane_no"],
+                "min_price": row["price_int"],
+            }
+        )
+    return (ds.map_batches(add_price_int, batch_format="pyarrow")
+              .groupby(["from_city_code", "to_city_code", "off_date"])
+              .map_groups(argmin, batch_format="pyarrow"))
+
+
+def _crawl_dead_letter(sf_dir: str):
+    ds = crawl.dead_letter(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "status": t["status"].cast(pa.int64()),
+                "failure_kind": t["failure_kind"],
+            }
+        )
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def _crawl_documents(sf_dir: str):
+    """Nested span docs (rows-only check; values verified via
+    crawl_spans' flat projection and pytest span-sequence tests)."""
+    return crawl.documents(sf_dir)
+
+
+_CRAWL_SQL = {
+    "crawl_seeds": f"{osql.with_chain(osql.SEEDS_CTE)} SELECT * FROM seeds",
+    "crawl_frontier": f"{osql.with_chain(osql.SEEDS_CTE, osql.FRONTIER_CTE)} "
+                      "SELECT url, host, seed_index, day_offset, flight_time FROM frontier",
+    "crawl_fetch": f"{osql.CRAWL_BASE} SELECT url, CAST(status AS BIGINT) AS status, error FROM fetched",
+    "crawl_flights": f"{osql.CRAWL_FULL} SELECT * FROM records",
+    "crawl_spans": f"{osql.CRAWL_SPANS} SELECT * FROM spans",
+    "crawl_od_counts": f"{osql.CRAWL_FULL} "
+                       "SELECT from_city_code, to_city_code, off_date, "
+                       "count(*) AS n_flights FROM records "
+                       "GROUP BY from_city_code, to_city_code, off_date",
+    "crawl_min_price": f"{osql.CRAWL_FULL} "
+                       "SELECT from_city_code, to_city_code, off_date, plane_no, "
+                       "CAST(price AS BIGINT) AS min_price FROM records "
+                       "QUALIFY row_number() OVER (PARTITION BY from_city_code, to_city_code, off_date "
+                       "ORDER BY CAST(price AS BIGINT), plane_no) = 1",
+    "crawl_dead_letter": f"{osql.CRAWL_BASE} "
+                         "SELECT url, CAST(status AS BIGINT) AS status, "
+                         "CASE WHEN error IS NOT NULL THEN error ELSE CAST(status AS VARCHAR) END AS failure_kind "
+                         "FROM fetched WHERE error IS NOT NULL OR status NOT IN (200, 201)",
+}
+
+
+def _ensure_builtin() -> None:
+    if _REGISTRY:
+        return
+    register("crawl_seeds", _crawl_seeds, _CRAWL_SQL["crawl_seeds"])
+    register("crawl_frontier", _crawl_frontier, _CRAWL_SQL["crawl_frontier"])
+    register("crawl_fetch", _crawl_fetch, _CRAWL_SQL["crawl_fetch"])
+    register("crawl_flights", _crawl_flights, _CRAWL_SQL["crawl_flights"])
+    register("crawl_spans", _crawl_spans, _CRAWL_SQL["crawl_spans"])
+    register("crawl_od_counts", _crawl_od_counts, _CRAWL_SQL["crawl_od_counts"])
+    register("crawl_min_price", _crawl_min_price, _CRAWL_SQL["crawl_min_price"])
+    register("crawl_dead_letter", _crawl_dead_letter, _CRAWL_SQL["crawl_dead_letter"])
+    register("crawl_documents", _crawl_documents, None)
+
+    from . import relational  # noqa: F401  (registers TPC-H-ish operators)
+    from . import textops     # noqa: F401  (dedup / text-analysis / knn)

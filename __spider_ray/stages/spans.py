@@ -1,0 +1,105 @@
+"""Span-document assembly — flight records → interleaved text+media docs.
+
+Output is the authoritative ``documents`` table of the driver
+``input_hint``: ``(doc_id:string, spans:list<struct<kind,text,media_ref,
+offset>>)``.  One doc per fetched page; per flight (in parse order) six
+text spans carrying the parsed fields in reference column order
+(``spiders/ctripSpider.py:296-299``), then one media span when the
+flight carries a captcha artifact (``CtripSpiderMiddleware.py:87-137``).
+``offset`` is the span's ordinal within the doc — strictly increasing.
+
+Fully vectorized: span arrays are built with np.repeat / argsort over
+(row, slot) keys — no Python loop over rows.  Relies on parse emitting
+one page's rows contiguously within a batch (parse is batch-aligned
+with fetch blocks and never shuffled before this stage); the pipeline
+documents that partitioning assumption.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..schemas import SPAN
+
+# reference column order for the text spans of one flight
+TEXT_FIELDS = ("plane_no", "company", "start_time", "end_time", "price", "discount")
+N_TEXT = len(TEXT_FIELDS)
+
+
+def records_to_docs(batch: pa.Table) -> pa.Table:
+    """flight-record batch (parse output order) → documents batch."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "spans": pa.array([], pa.list_(SPAN))})
+    media = batch["media_ref"].to_numpy(zero_copy_only=False)
+    has_media = np.array([m is not None for m in media])
+
+    # flat span stream keyed by (row, slot): text slots 0..5, media slot 6
+    text_vals = np.empty((n, N_TEXT), dtype=object)
+    for k, f in enumerate(TEXT_FIELDS):
+        text_vals[:, k] = batch[f].to_numpy(zero_copy_only=False)
+    t_rows = np.repeat(np.arange(n), N_TEXT)
+    t_slots = np.tile(np.arange(N_TEXT), n)
+    m_rows = np.nonzero(has_media)[0]
+
+    rows = np.concatenate([t_rows, m_rows])
+    slots = np.concatenate([t_slots, np.full(len(m_rows), N_TEXT)])
+    order = np.argsort(rows * (N_TEXT + 1) + slots, kind="stable")
+    rows_o, slots_o = rows[order], slots[order]
+
+    vals = np.concatenate([text_vals.reshape(-1), media[m_rows]])[order]
+    is_text = slots_o < N_TEXT
+    kind = np.where(is_text, "text", "media").astype(object)
+    text = np.where(is_text, vals, None)
+    media_ref = np.where(is_text, None, vals)
+
+    # doc boundaries: doc_id changes (page rows are contiguous in parse order)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    new_doc = np.empty(n, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = doc_ids[1:] != doc_ids[:-1]
+    doc_idx_per_row = np.cumsum(new_doc) - 1            # row → doc ordinal
+    doc_of_span = doc_idx_per_row[rows_o]
+    n_docs = int(doc_idx_per_row[-1]) + 1
+
+    # per-doc span counts → list offsets; offset field = ordinal in doc
+    span_counts = np.bincount(doc_of_span, minlength=n_docs)
+    list_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+    np.cumsum(span_counts, out=list_offsets[1:])
+    span_pos = np.arange(len(rows_o), dtype=np.int32) - list_offsets[:-1][doc_of_span]
+
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kind, type=pa.string()),
+            pa.array(text, type=pa.string()),
+            pa.array(media_ref, type=pa.string()),
+            pa.array(span_pos, type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(pa.array(list_offsets), struct)
+    doc_id = pa.array(doc_ids[new_doc], type=pa.string())
+    return pa.table({"doc_id": doc_id, "spans": spans})
+
+
+def explode_spans(batch: pa.Table) -> pa.Table:
+    """documents batch → one row per span (flat, SQL-hashable):
+    (doc_id, offset, kind, text, media_ref)."""
+    spans = batch["spans"].combine_chunks()
+    flat = spans.flatten()
+    counts = np.asarray(spans.value_lengths())
+    doc_id = pa.array(
+        np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), counts),
+        type=pa.string(),
+    )
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "offset": flat.field("offset"),
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+        }
+    )

@@ -1,0 +1,181 @@
+"""Deterministic synthetic web — the sandbox stand-in for network fetch.
+
+The reference crawls live OTAs (``m.ctrip.com`` POST API at
+``spiders/ctripSpider.py:222-225``).  This sandbox has no network, so
+fetch is simulated: every page body is a *pure function of its URL*
+(md5-derived), which makes the whole crawl reproducible AND lets the
+driver's DuckDB oracle regenerate the exact same content in SQL
+(``md5()`` + hex-slice arithmetic — verified bit-identical).
+
+Derivation spec (the single source of truth; mirrored in
+``pipelines/oracle_sqlgen.py``):
+
+- seeds come from the driver's ``customer``×``nation`` tables
+  (seed_id = c_custkey), with 北京/武隆 special rows injected every
+  50th/41st key to exercise the reference's canonicalization
+  (``spiders/ctripSpider.py:141-146``);
+- frontier = seeds × day_offset∈[0,15) (``spiders/ctripSpider.py:148-156``
+  ``days = range(15)``), flight_time = BASE_DATE + day_offset;
+- page status/flight-count derive from ``md5(url)``;
+- flight *i*'s fields derive from ``md5(url + '#' + i)``.
+
+NOTE on loops: md5-per-URL is a Python-level call by design — it is the
+synthetic replacement for a network round-trip and runs inside fetch
+``map_batches`` workers (one md5 per *page*, not per row of a 100 TB
+table).  Everything downstream of "fetch" is vectorized Arrow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from datetime import date, timedelta
+
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------- constants
+BASE_DATE = date(2026, 1, 1)              # crawl day (fixed ⇒ deterministic)
+BASE_DATE_STR = "2026-01-01"
+CREATE_TIME_STR = "2026-01-01 00:00:00"   # replaces datetime.now() (ctripSpider.py:158)
+N_DAYS = 15                               # days = range(15) (ctripSpider.py:150-153)
+TASK_TIME = "00"                          # hourly cadence slot (start_spider_demo.sh:2)
+SERVER_IP = "ray-0"                       # replaces ip_map lookup (ylutils/ip_map.py:6-10)
+PLATFORM = "ctrip"
+
+# airline (name, 2-letter code) pool — flight i picks by hex digit
+COMPANIES = [
+    ("国航", "CA"), ("东航", "MU"), ("南航", "CZ"),
+    ("海航", "HU"), ("川航", "3U"), ("厦航", "MF"),
+]
+# stopover-city pool — picked by one hex digit (16 entries)
+TRANSFER_CITIES = [
+    "西安", "郑州", "武汉", "长沙", "昆明", "乌鲁木齐", "兰州", "南京",
+    "杭州", "青岛", "沈阳", "哈尔滨", "贵阳", "太原", "合肥", "南昌",
+]
+# deterministic UA pool — replaces random.choice(user_agent_list)
+# (spiders/ctripSpider.py:157; the 300-entry list at settings.py:102-451)
+USER_AGENTS = [f"spider-ray-ua/{i}" for i in range(8)]
+
+
+def _hx(h: str, a: int, b: int) -> int:
+    """int(h[a:b], 16) — SQL: ('0x' || substr(h, a+1, b-a))::BIGINT."""
+    return int(h[a:b], 16)
+
+
+def md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------- seeds
+def seed_special(custkey: int, which: str) -> tuple[str, str] | None:
+    """北京/武隆 injection rule shared with the SQL oracle.
+
+    from-side: custkey % 50 == 0 → ('北京','PKX'); == 1 → ('武隆','CQW')
+    to-side:   custkey % 41 == 0 → ('北京','PEK'); == 1 → ('武隆','CQW')
+    """
+    m = custkey % (50 if which == "from" else 41)
+    if m == 0:
+        return ("北京", "PKX" if which == "from" else "PEK")
+    if m == 1:
+        return ("武隆", "CQW")
+    return None
+
+
+def nation_code(n_name: str, n_nationkey: int) -> str:
+    """City code for a nation row: upper 3-prefix + nationkey."""
+    return n_name[:3].upper() + str(n_nationkey)
+
+
+# ---------------------------------------------------------------- fetch
+def page_status(url: str) -> tuple[int, str | None, int]:
+    """(status, error, n_flights) for a URL.
+
+    First md5 hex digit routes the response branch
+    (``spiders/ctripSpider.py:243-332``): 0 → transport error (the
+    reference's '**' sentinel, YlSpiderMiddleware.py:186-194),
+    1 → 403, 2 → 500, else 200.  Second digit sizes fltitem[].
+    """
+    h = md5(url)
+    d0 = _hx(h, 0, 1)
+    if d0 == 0:
+        return 0, "timeout", 0
+    if d0 == 1:
+        return 403, None, 0
+    if d0 == 2:
+        return 500, None, 0
+    return 200, None, 1 + _hx(h, 1, 2) % 5
+
+
+def flight_fields(url: str, i: int) -> dict:
+    """Flight *i* of a page — every field a pure md5 derivation.
+
+    Mirrors the per-flight extraction shape of the reference parser
+    (``spiders/ctripSpider.py:253-292``) without any network data.
+    """
+    h = md5(f"{url}#{i}")
+    company, code = COMPANIES[_hx(h, 0, 1) % len(COMPANIES)]
+    plane_no = code + str(1000 + _hx(h, 1, 5) % 9000)
+    dep_h, dep_m = _hx(h, 5, 7) % 24, (_hx(h, 7, 9) % 12) * 5
+    dur = 60 + _hx(h, 9, 11) % 180
+    end_tot = (dep_h * 60 + dep_m + dur) % 1440
+    price = 200 + _hx(h, 11, 15) % 1800
+    disc_tenths = 20 + _hx(h, 15, 17) % 80
+    has_stop = _hx(h, 17, 18) < 3
+    return {
+        "company": company,
+        "company_no": code,                      # plane_no[0:2] (ctripSpider.py:274)
+        "plane_no": plane_no,
+        "start_time": f"{dep_h:02d}:{dep_m:02d}",   # "HH:MM" (ctripSpider.py:269-272)
+        "end_time": f"{end_tot // 60:02d}:{end_tot % 60:02d}",
+        "price": str(price),                     # stringified (ctripSpider.py:277)
+        "discount": f"{disc_tenths / 10:.1f}折",  # drate*10 rule (ctripSpider.py:278)
+        "flight_type": "经停" if has_stop else "",
+        "flight_transfer": TRANSFER_CITIES[_hx(h, 18, 19)] if has_stop else "",
+        "plane_type": f"73{_hx(h, 19, 20) % 10}",
+        "has_media": _hx(h, 20, 21) == 0,        # ~6% of flights carry a captcha artifact
+        "media_ref": f"captcha://{h[:16]}",
+    }
+
+
+def page_body(url: str) -> bytes:
+    """Full synthetic response body (JSON shaped like the Ctrip API's
+    ``fltitem[]``, ctripSpider.py:252-285) — used by the fetch stage."""
+    status, error, n = page_status(url)
+    if error or status != 200:
+        return json.dumps({"error": error or status}).encode()
+    return json.dumps(
+        {"fltitem": [flight_fields(url, i) for i in range(n)]},
+        ensure_ascii=False,
+    ).encode()
+
+
+def pick_ua(url: str) -> str:
+    """Deterministic UA pick (replaces random.choice, ctripSpider.py:157)."""
+    return USER_AGENTS[_hx(md5(url), 2, 3) % len(USER_AGENTS)]
+
+
+def day_str(day_offset: int) -> str:
+    return (BASE_DATE + timedelta(days=int(day_offset))).isoformat()
+
+
+# ---------------------------------------------------------------- vectorized helpers
+def day_strs(day_offsets: np.ndarray) -> np.ndarray:
+    """Vectorized day_offset → 'YYYY-MM-DD' via numpy datetime64."""
+    base = np.datetime64(BASE_DATE_STR)
+    return (base + day_offsets.astype("timedelta64[D]")).astype("datetime64[D]").astype(str)
+
+
+def build_urls(from_codes: pa.Array, to_codes: pa.Array, days: pa.Array):
+    """url = https://{lower(to_code)}.flights.test/flightlist/{from}-{to}/{date}
+
+    Host embeds the destination code → all URLs of one destination meet
+    one politeness bucket; 北京(BJS) is the deliberate hot host.
+    """
+    import pyarrow.compute as pc
+    host = pc.binary_join_element_wise(
+        pc.utf8_lower(to_codes.cast(pa.string())), pa.scalar(".flights.test"), "")
+    return pc.binary_join_element_wise(
+        pa.scalar("https://"), host, pa.scalar("/flightlist/"),
+        from_codes.cast(pa.string()), pa.scalar("-"), to_codes.cast(pa.string()),
+        pa.scalar("/"), days.cast(pa.string()), ""), host

@@ -1,0 +1,147 @@
+"""Unit tests for individual stages/functions (SURVEY.md §5a)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from __spider_ray import synth
+from __spider_ray.functions.hashing import hash64, md5_hex, uniform01
+from __spider_ray.stages import canonicalize as canon
+from __spider_ray.stages.fetch import fetch_batch
+from __spider_ray.stages.parse import parse_batch, split_fetch_results
+from __spider_ray.stages.spans import records_to_docs
+
+
+def test_hash64_matches_scalar_reference():
+    """Vectorized FNV-1a must equal a straightforward scalar FNV-1a."""
+    def scalar_fnv(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        # same splitmix64 finish as hash64
+        h ^= h >> 30; h = (h * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 27; h = (h * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 31
+        return h
+    vals = ["", "a", "abc", "北京", "https://x.test/p?q=1", "aaaaaaaaaaaaaaaaaa"]
+    got = hash64(pa.array(vals))
+    for v, g in zip(vals, got):
+        assert int(g) == scalar_fnv(v), v
+
+
+def test_hash64_distribution_and_determinism():
+    vals = pa.array([f"url-{i}" for i in range(20000)])
+    h1, h2 = hash64(vals), hash64(vals)
+    assert (h1 == h2).all()
+    assert len(np.unique(h1)) == 20000          # no collisions on 20k keys
+    assert (hash64(vals, seed=1) != h1).mean() > 0.99
+
+
+def test_uniform01_range():
+    u = uniform01(pa.array([f"u{i}" for i in range(1000)]), salt="x")
+    assert (u >= 0).all() and (u < 1).all()
+    assert 0.4 < u.mean() < 0.6
+
+
+def test_md5_parity_with_duckdb():
+    import duckdb
+    vals = ["abc", "https://pek.flights.test/flightlist/A-B/2026-01-01#3", "北京"]
+    want = [duckdb.sql(f"select md5('{v}')").fetchone()[0] for v in vals]
+    assert md5_hex(vals) == want
+
+
+def test_canonicalize_rules():
+    t = pa.table({
+        "seed_id": [1, 2, 3],
+        "from_city_name": ["北京", "武隆", "广州"],
+        "from_city_code": ["PKX", "CQW", "CAN"],
+        "to_city_name": ["上海", "北京", "武隆"],
+        "to_city_code": ["SHA", "PEK", "CQW"],
+    })
+    out = canon.canonicalize_seed_batch(t)
+    assert out["from_city_code"].to_pylist() == ["BJS", "CQW", "CAN"]
+    assert out["to_city_code"].to_pylist() == ["SHA", "BJS", "CQW"]
+    assert out["from_city_name"].to_pylist() == ["北京", "重庆", "广州"]
+    assert out["to_city_name"].to_pylist() == ["上海", "北京", "重庆"]
+
+
+def test_airport_map():
+    codes = pa.array(["PKX", "SHA", "TFU", "CAN", "CKG"])
+    got = canon.canonical_airport(codes).to_pylist()
+    assert got == ["PEK", "PVG", "CTU", "CAN", "CKG"]
+
+
+def _frontier_batch(urls):
+    n = len(urls)
+    meta = pa.StructArray.from_arrays(
+        [pa.array(["广州"] * n), pa.array(["上海"] * n),
+         pa.array(["CAN"] * n), pa.array(["SHA"] * n),
+         pa.array(["2026-01-01"] * n),
+         pa.array(np.zeros(n, dtype=np.int32)),
+         pa.array(["ua"] * n),
+         pa.array(np.full(n, np.datetime64("2026-01-01T00:00:00", "us")))],
+        names=["from_city", "to_city", "from_city_code", "to_city_code",
+               "flight_time", "is_low_price", "user_agent", "create_time"])
+    return pa.table({
+        "url": pa.array(urls),
+        "host": pa.array(["h.test"] * n),
+        "depth": pa.array(np.zeros(n, dtype=np.int32)),
+        "priority": pa.array(np.zeros(n)),
+        "seed_index": pa.array(np.arange(n, dtype=np.int64)),
+        "day_offset": pa.array(np.zeros(n, dtype=np.int32)),
+        "meta": meta,
+    })
+
+
+def test_fetch_parse_roundtrip():
+    # find one URL per branch
+    urls, want = [], {}
+    i = 0
+    while len(urls) < 40:
+        u = f"https://h.test/p{i}"
+        urls.append(u)
+        want[u] = synth.page_status(u)
+        i += 1
+    fb = fetch_batch(_frontier_batch(urls))
+    assert fb.num_rows == len(urls)
+    for u, st, err in zip(fb["url"].to_pylist(), fb["status"].to_pylist(),
+                          fb["error"].to_pylist()):
+        assert (st, err) == (want[u][0], want[u][1])
+    recs = parse_batch(fb)
+    ok_urls = [u for u in urls if want[u][0] == 200]
+    assert set(recs["url"].to_pylist()) == set(ok_urls)
+    # flight_number equals the page's fltitem count
+    for u in ok_urls:
+        n = want[u][2]
+        sub = recs.filter(pa.compute.equal(recs["url"], u))
+        assert sub.num_rows == n
+        assert sub["flight_number"].to_pylist() == [n] * n
+    dead = split_fetch_results(fb)
+    assert set(dead["url"].to_pylist()) == set(u for u in urls if want[u][0] != 200)
+
+
+def test_records_to_docs_structure():
+    urls = [f"https://h.test/d{i}" for i in range(50)]
+    fb = fetch_batch(_frontier_batch(urls))
+    recs = parse_batch(fb)
+    docs = records_to_docs(recs)
+    assert docs.num_rows == len(set(recs["doc_id"].to_pylist()))
+    spans = docs["spans"].combine_chunks()
+    for doc_spans in docs["spans"].to_pylist():
+        offs = [s["offset"] for s in doc_spans]
+        assert offs == list(range(len(offs)))
+        for s in doc_spans:
+            if s["kind"] == "text":
+                assert s["text"] is not None and s["media_ref"] is None
+            else:
+                assert s["kind"] == "media"
+                assert s["text"] is None and s["media_ref"].startswith("captcha://")
+
+
+def test_empty_parse_batch():
+    fb = fetch_batch(_frontier_batch([]))
+    recs = parse_batch(fb)
+    assert recs.num_rows == 0
+    docs = records_to_docs(recs)
+    assert docs.num_rows == 0
