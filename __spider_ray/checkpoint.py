@@ -1,0 +1,75 @@
+"""Per-epoch checkpointing — lineage + metrics + filter snapshots.
+
+The reference has NO checkpoint/resume (SURVEY.md §4): a killed run
+re-crawls everything, mitigated only by daily tables + ``replace into``
+idempotence (``YlTwistPipeline.py:153-169``).  Here every epoch commit
+writes, under ``out_dir``:
+
+    docs/epoch={e}/          span-doc parquet (partitioned output)
+    fares/epoch={e}/         depth-1 lowest-fare parquet
+    frontier/epoch={e+1}/    the next epoch's frontier
+    state/epoch={e}/         URL-seen shard snapshots (npz)
+    epoch={e}.json           _SUCCESS marker: metrics + lineage
+
+Resume = find the last epoch with a marker, restore the seen shards
+from its snapshot, reload the stored next-frontier, continue.  Nothing
+already fetched is fetched again and no doc is emitted twice (the
+count-verification invariant from ``YlTwistPipeline.py:166-169`` is
+kept: each marker records expected vs written doc counts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def epoch_marker(out_dir: str, epoch: int) -> str:
+    return os.path.join(out_dir, f"epoch={epoch}.json")
+
+
+def last_complete_epoch(out_dir: str) -> int:
+    """Highest epoch with a _SUCCESS marker, or -1."""
+    e = -1
+    while os.path.exists(epoch_marker(out_dir, e + 1)):
+        e += 1
+    return e
+
+
+def commit_epoch(out_dir: str, epoch: int, metrics: dict,
+                 seen_snapshots: list[dict] | None) -> None:
+    if seen_snapshots is not None:
+        state_dir = os.path.join(out_dir, f"state/epoch={epoch}")
+        os.makedirs(state_dir, exist_ok=True)
+        for i, snap in enumerate(seen_snapshots):
+            path = os.path.join(state_dir, f"seen_shard_{i}.npz")
+            arrays = {k: np.frombuffer(v, dtype=np.uint8) if isinstance(v, bytes) else np.asarray(v)
+                      for k, v in snap.items()}
+            np.savez_compressed(path, **arrays)
+        metrics = dict(metrics, seen_snapshot_dir=state_dir)
+    tmp = epoch_marker(out_dir, epoch) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(dict(metrics, epoch=epoch), f, ensure_ascii=False)
+    os.replace(tmp, epoch_marker(out_dir, epoch))   # atomic commit
+
+
+def read_marker(out_dir: str, epoch: int) -> dict:
+    with open(epoch_marker(out_dir, epoch)) as f:
+        return json.load(f)
+
+
+def load_seen_snapshots(out_dir: str, epoch: int, n_shards: int,
+                        kind: str = "cuckoo") -> list[dict]:
+    state_dir = os.path.join(out_dir, f"state/epoch={epoch}")
+    snaps = []
+    for i in range(n_shards):
+        z = np.load(os.path.join(state_dir, f"seen_shard_{i}.npz"))
+        snap = {}
+        for k in z.files:
+            v = z[k]
+            snap[k] = v.tobytes() if v.dtype == np.uint8 and v.ndim == 1 and k == "table" \
+                else (int(v) if v.ndim == 0 else v.tobytes())
+        snaps.append(snap)
+    return snaps

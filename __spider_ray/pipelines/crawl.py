@@ -63,6 +63,34 @@ def exploded_spans(sf_dir: str) -> ray.data.Dataset:
     return documents(sf_dir).map_batches(spans.explode_spans, batch_format="pyarrow")
 
 
+def _first_url(group: pa.Table) -> pa.Table:
+    return group.take(pa.compute.sort_indices(
+        group, sort_keys=[("seed_index", "ascending"), ("day_offset", "ascending")])[:1])
+
+
+def detail_frontier(sf_dir: str) -> ray.data.Dataset:
+    """Depth-1 frontier: unique detail URLs discovered by parse."""
+    from ..stages import detail
+    return (flight_records(sf_dir)
+            .map_batches(detail.expand_detail_links, batch_format="pyarrow")
+            .groupby("url").map_groups(_first_url, batch_format="pyarrow"))
+
+
+def detail_cabins(sf_dir: str) -> ray.data.Dataset:
+    """Depth-1 fetch + economyList flatten (ylSpider06.py:515-534)."""
+    from ..stages import detail
+    return (detail_frontier(sf_dir)
+            .map_batches(detail.fetch_detail_batch, batch_format="pyarrow")
+            .map_batches(detail.parse_cabins_batch, batch_format="pyarrow"))
+
+
+def lowest_fares(sf_dir: str) -> ray.data.Dataset:
+    """M12 grouped argmin over eligible cabins (ylSpider06.py:536-557)."""
+    from ..stages import detail
+    return detail_cabins(sf_dir).map_batches(detail.lowest_fare_batch,
+                                             batch_format="pyarrow")
+
+
 def dead_letter(sf_dir: str) -> ray.data.Dataset:
     """Failed fetches (error or bad status) — the reference's exception
     artifacts (ctripSpider.py:318-326) as a queryable side dataset."""

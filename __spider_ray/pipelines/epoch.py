@@ -1,0 +1,194 @@
+"""The streaming epoch loop — the engine's main crawl driver.
+
+Per epoch (north_rule's "priority frontier as repeated groupby(host)/
+aggregate/sort shuffles"):
+
+1. frontier Dataset → ``sort(host, priority)`` — one all-to-all shuffle
+   that (a) co-locates each host's URLs (politeness locality: all URLs
+   of a host meet one token bucket in few tasks) and (b) orders by
+   priority = reference crawl order (§2.6 O4);
+2. URL-seen semi-join: ``map_batches(SeenFilterWorker)`` — batched
+   ``check_and_add`` against the sharded cuckoo actors, worker-local
+   bloom pre-check; duplicates drop here, exactly once per URL;
+3. robots mask via the HostPolicyActor TTL cache (reference semantics:
+   allow-all, ``settings.py:21``);
+4. fetch: ``map_batches(FetchWorker, concurrency=N)`` actor pool with
+   batched token grants;
+5. parse: depth-0 pages → flight records (written as an epoch parquet
+   partition, then re-read for span docs + discovered detail links);
+   depth-1 pages → cabin rows → lowest fares;
+6. commit: parquet partitions + next frontier + seen-shard snapshots +
+   metrics marker (checkpoint.py).  Resume skips complete epochs.
+
+Every intermediate an epoch needs twice is written once and re-read
+(records), never ``materialize()``d in the object store — at 100 TB
+the written partition IS the checkpoint artifact.
+
+Skew note: the 北京(BJS) host is the deliberate hot key.  Fetch blocks
+are host-sorted, so a hot host's URLs span several blocks — CPU load
+balances across tasks while the *rate* stays globally capped because
+all grants for that host come from one HostPolicyActor shard.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .. import checkpoint as ckpt
+from ..state.bloom import BloomFilter
+from ..state.politeness import HostPolicyClient
+from ..state.url_seen import UrlSeenSet
+from ..stages import detail, expand, fetch, parse, spans
+
+
+class SeenFilterWorker:
+    """Actor-pool seen-filter: worker-local bloom pre-check + batched
+    cuckoo-shard test-and-set.  The bloom screens URLs this worker has
+    already passed through (hot repeats skip the actor round-trip and
+    are dropped immediately); everything else goes to the authoritative
+    sharded test-and-set in ONE call per (shard, batch)."""
+
+    def __init__(self, seen: UrlSeenSet, bloom_bits: int = 1 << 22):
+        self.seen = seen
+        self.bloom = BloomFilter(n_bits=bloom_bits, k=5)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        from ..functions.hashing import hash64
+        urls = batch["url"].combine_chunks()
+        h = hash64(urls)
+        locally_seen = self.bloom.contains(h)
+        new = np.zeros(len(h), dtype=bool)
+        cand = np.nonzero(~locally_seen)[0]
+        if len(cand):
+            new[cand] = self.seen.check_and_add(urls.take(pa.array(cand)))
+            self.bloom.add(h[cand[new[cand]]])
+        return batch.filter(pa.array(new))
+
+
+def _robots_filter(batch: pa.Table, policy: HostPolicyClient) -> pa.Table:
+    mask = policy.robots_mask(batch["host"].combine_chunks())
+    return batch.filter(pa.array(mask))
+
+
+def run_crawl(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    n_seen_shards: int = 4,
+    seen_buckets: int = 1 << 16,
+    delay_s: float = 0.0,
+    burst: int = 6,
+    fetch_concurrency: int | None = None,
+    fetch_batch_size: int = 4096,
+    resume: bool = True,
+    max_depth: int = 1,
+) -> dict:
+    """Run the full crawl; returns the final metrics dict.
+
+    Resumable: with ``resume=True`` and a prior partial run in
+    ``out_dir``, completed epochs are skipped (their outputs kept), the
+    seen filters are restored from the last snapshot, and the crawl
+    continues from the stored next-frontier."""
+    if not resume:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # size the actor pools to the cluster: the chained pools (seen →
+    # fetch) plus state actors must leave CPUs free for the read/sort/
+    # write TASKS, or the streaming executor starves (a pool that
+    # reserves every CPU deadlocks the pipeline).  Budget ≈ half the
+    # CPUs to pools at 0.5 each.
+    import ray as _ray
+    total_cpus = int(_ray.cluster_resources().get("CPU", 8))
+    if fetch_concurrency is None:
+        fetch_concurrency = max(1, total_cpus // 4)
+    seen_concurrency = max(1, fetch_concurrency // 2)
+
+    seen = UrlSeenSet(n_shards=n_seen_shards, n_buckets=seen_buckets)
+    policy = HostPolicyClient(n_actors=2, delay_s=delay_s, burst=burst)
+
+    start_epoch = ckpt.last_complete_epoch(out_dir) + 1 if resume else 0
+    if start_epoch > 0:
+        seen.restore_all(ckpt.load_seen_snapshots(out_dir, start_epoch - 1,
+                                                  n_seen_shards))
+    else:
+        seen.reset_all()
+
+    totals: dict[str, int] = {"records": 0, "docs": 0, "fares": 0}
+    if start_epoch > 0:
+        totals.update(ckpt.read_marker(out_dir, start_epoch - 1).get("totals", totals))
+
+    for epoch in range(start_epoch, max_depth + 1):
+        if epoch == 0:
+            frontier = expand.frontier_dataset(sf_dir)
+        else:
+            fdir = os.path.join(out_dir, f"frontier/epoch={epoch}")
+            if not os.path.exists(fdir):
+                break
+            frontier = ray.data.read_parquet(fdir)
+
+        # 1. priority shuffle  2. seen semi-join  3. robots mask
+        fresh = (
+            frontier.sort(["host", "priority"])
+            .map_batches(SeenFilterWorker, fn_constructor_kwargs={"seen": seen},
+                         batch_format="pyarrow", batch_size=fetch_batch_size,
+                         concurrency=seen_concurrency, num_cpus=0.25)
+            .map_batches(lambda b: _robots_filter(b, policy),
+                         batch_format="pyarrow")
+        )
+
+        if epoch == 0:
+            records_dir = os.path.join(out_dir, f"records/epoch={epoch}")
+            (
+                fresh.map_batches(fetch.FetchWorker,
+                                  fn_constructor_kwargs={"politeness": policy},
+                                  batch_format="pyarrow",
+                                  batch_size=fetch_batch_size,
+                                  concurrency=fetch_concurrency, num_cpus=0.5)
+                .map_batches(parse.parse_batch, batch_format="pyarrow")
+                .write_parquet(records_dir)
+            )
+            rec = ray.data.read_parquet(records_dir)
+            docs_dir = os.path.join(out_dir, f"docs/epoch={epoch}")
+            # re-read blocks don't preserve page contiguity → assemble
+            # docs with an explicit doc_id shuffle (SURVEY.md §7.3)
+            rec.groupby("doc_id").map_groups(
+                spans.doc_from_group, batch_format="pyarrow"
+            ).write_parquet(docs_dir)
+            next_dir = os.path.join(out_dir, "frontier/epoch=1")
+            rec.map_batches(detail.expand_detail_links,
+                            batch_format="pyarrow").write_parquet(next_dir)
+            n_rec = rec.count()
+            n_docs = ray.data.read_parquet(docs_dir).count()
+            totals["records"] += n_rec
+            totals["docs"] += n_docs
+            metrics = {"records": n_rec, "docs": n_docs, "totals": totals}
+        else:
+            fares_dir = os.path.join(out_dir, f"fares/epoch={epoch}")
+            (
+                fresh.map_batches(fetch.DetailFetchWorker,
+                                  fn_constructor_kwargs={"politeness": policy},
+                                  batch_format="pyarrow",
+                                  batch_size=fetch_batch_size,
+                                  concurrency=fetch_concurrency, num_cpus=0.5)
+                .map_batches(detail.parse_cabins_batch, batch_format="pyarrow")
+                .map_batches(detail.lowest_fare_batch, batch_format="pyarrow")
+                .write_parquet(fares_dir)
+            )
+            n_fares = ray.data.read_parquet(fares_dir).count()
+            totals["fares"] += n_fares
+            metrics = {"fares": n_fares, "totals": totals}
+
+        metrics["seen_stats"] = seen.stats()
+        metrics["policy_stats"] = policy.stats()
+        ckpt.commit_epoch(out_dir, epoch, metrics, seen.snapshot_all())
+
+    return {"last_epoch": ckpt.last_complete_epoch(out_dir), "totals": totals,
+            "seen": seen.stats(), "policy": policy.stats()}

@@ -94,7 +94,7 @@ flights AS (
   WHERE fetched.status = 200 AND f.flight_idx < fetched.n_flights
 ),
 records AS (
-  SELECT url, doc_id, seed_index, day_offset, flight_idx,
+  SELECT url, host, doc_id, seed_index, day_offset, flight_idx,
     CASE WHEN {_hx('h2', 20, 1)} = 0 THEN 'captcha://' || substr(h2, 1, 16) ELSE NULL END AS media_ref,
     {_case_list(f"{_hx('h2', 0, 1)} % 6", _COMPANY_NAMES)} AS company,
     {_case_list(f"{_hx('h2', 0, 1)} % 6", _COMPANY_CODES)} AS company_no,
@@ -141,6 +141,48 @@ spans AS (
 )"""
 
 
+# ------------------------------------------------------- depth-1 details
+_HC = "md5(detail_url || '@' || CAST(c.cabin_idx AS VARCHAR))"
+_PRICE = f"150 + {_hx('hc', 6, 4)} % 1500"
+DETAIL_CTE = f"""
+details AS (
+  SELECT DISTINCT host, plane_no, off_date,
+    'https://' || host || '/detail/' || plane_no || '/' || off_date AS detail_url
+  FROM records
+),
+cabins_raw AS (
+  SELECT d.*, CAST(c.cabin_idx AS BIGINT) AS cabin_idx, {_HC} AS hc
+  FROM details d CROSS JOIN (SELECT range AS cabin_idx FROM range(6)) c
+  WHERE c.cabin_idx < 2 + {_hx("md5(detail_url)", 0, 1)} % 4
+),
+cabins AS (
+  SELECT detail_url, plane_no, off_date, cabin_idx,
+    CASE WHEN {_hx('hc', 0, 1)} < 6 THEN '00000' ELSE '1' || substr(hc, 2, 4) END AS "ruleId",
+    CASE {_hx('hc', 5, 1)} % 4 WHEN 0 THEN '' WHEN 1 THEN '限时特惠'
+         WHEN 2 THEN '婴儿不可预订' WHEN 3 THEN '会员专享' END AS "limitLabel",
+    {_PRICE} AS "clientTicketPrice",
+    CASE WHEN {_hx('hc', 10, 1)} < 4 THEN ''
+         ELSE CAST({_PRICE} - {_hx('hc', 11, 2)} % 100 AS VARCHAR) END AS lep,
+    CAST({_PRICE} - {_hx('hc', 13, 2)} % 50 AS VARCHAR) AS lrp,
+    CASE WHEN {_hx('hc', 15, 1)} < 8 THEN '有' ELSE '无' END AS ml,
+    {_hx('hc', 16, 2)} % 30 AS baggage
+  FROM cabins_raw
+)"""
+
+FARES_CTE = """
+fares AS (
+  SELECT plane_no, off_date,
+    CASE WHEN lep = '' THEN CAST(lrp AS BIGINT)
+         ELSE CAST(lep AS BIGINT) END AS lep_price,
+    ml AS is_meal, baggage,
+    "clientTicketPrice" AS min_cabin_price
+  FROM cabins
+  WHERE "ruleId" = '00000' OR "limitLabel" IN ('婴儿不可预订', '限时特惠')
+  QUALIFY row_number() OVER (PARTITION BY detail_url
+                             ORDER BY "clientTicketPrice", cabin_idx) = 1
+)"""
+
+
 def with_chain(*ctes: str) -> str:
     return "WITH " + ",".join(c.strip().removeprefix("WITH") for c in ctes)
 
@@ -148,3 +190,6 @@ def with_chain(*ctes: str) -> str:
 CRAWL_BASE = with_chain(SEEDS_CTE, FRONTIER_CTE, FETCH_CTE)
 CRAWL_FULL = with_chain(SEEDS_CTE, FRONTIER_CTE, FETCH_CTE, FLIGHTS_CTE)
 CRAWL_SPANS = with_chain(SEEDS_CTE, FRONTIER_CTE, FETCH_CTE, FLIGHTS_CTE, SPANS_CTE)
+CRAWL_DETAIL = with_chain(SEEDS_CTE, FRONTIER_CTE, FETCH_CTE, FLIGHTS_CTE, DETAIL_CTE)
+CRAWL_FARES = with_chain(SEEDS_CTE, FRONTIER_CTE, FETCH_CTE, FLIGHTS_CTE,
+                         DETAIL_CTE, FARES_CTE)

@@ -137,6 +137,16 @@ def _crawl_dead_letter(sf_dir: str):
     return ds.map_batches(proj, batch_format="pyarrow")
 
 
+def _crawl_cabins(sf_dir: str):
+    ds = crawl.detail_cabins(sf_dir)
+    ds = _cast_int64(ds, ["cabin_idx"])
+    return ds.map_batches(lambda t: t.drop_columns([]), batch_format="pyarrow")
+
+
+def _crawl_lowest_fare(sf_dir: str):
+    return crawl.lowest_fares(sf_dir)
+
+
 def _crawl_documents(sf_dir: str):
     """Nested span docs (rows-only check; values verified via
     crawl_spans' flat projection and pytest span-sequence tests)."""
@@ -163,6 +173,10 @@ _CRAWL_SQL = {
                          "SELECT url, CAST(status AS BIGINT) AS status, "
                          "CASE WHEN error IS NOT NULL THEN error ELSE CAST(status AS VARCHAR) END AS failure_kind "
                          "FROM fetched WHERE error IS NOT NULL OR status NOT IN (200, 201)",
+    "crawl_cabins": f'{osql.CRAWL_DETAIL} SELECT detail_url, plane_no, off_date, '
+                    'cabin_idx, "ruleId", "limitLabel", "clientTicketPrice", '
+                    'lep, lrp, ml, baggage FROM cabins',
+    "crawl_lowest_fare": f"{osql.CRAWL_FARES} SELECT * FROM fares",
 }
 
 
@@ -177,6 +191,8 @@ def _ensure_builtin() -> None:
     register("crawl_od_counts", _crawl_od_counts, _CRAWL_SQL["crawl_od_counts"])
     register("crawl_min_price", _crawl_min_price, _CRAWL_SQL["crawl_min_price"])
     register("crawl_dead_letter", _crawl_dead_letter, _CRAWL_SQL["crawl_dead_letter"])
+    register("crawl_cabins", _crawl_cabins, _CRAWL_SQL["crawl_cabins"])
+    register("crawl_lowest_fare", _crawl_lowest_fare, _CRAWL_SQL["crawl_lowest_fare"])
     register("crawl_documents", _crawl_documents, None)
 
     from . import relational  # noqa: F401  (registers TPC-H-ish operators)

@@ -85,3 +85,17 @@ class FetchWorker:
         if self.politeness is not None:
             self.politeness.acquire_for_batch(batch["host"])
         return fetch_batch(batch)
+
+
+class DetailFetchWorker:
+    """Depth-1 fetch actor (detail API, ylSpider06.py:508-514) — same
+    politeness budget, same host buckets as the list-page fetch."""
+
+    def __init__(self, politeness=None):
+        self.politeness = politeness
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from . import detail
+        if batch.num_rows and self.politeness is not None:
+            self.politeness.acquire_for_batch(batch["host"])
+        return detail.fetch_detail_batch(batch)

@@ -26,7 +26,7 @@ from ..schemas import FLIGHT_RECORDS
 # media_ref is the captcha/image artifact reference a flight row may
 # carry (CtripSpiderMiddleware.py:87-137 — base64 captcha images; here a
 # reference string, payload never inlined into the record)
-PROVENANCE = ("url", "doc_id", "seed_index", "day_offset", "flight_idx", "media_ref")
+PROVENANCE = ("url", "host", "doc_id", "seed_index", "day_offset", "flight_idx", "media_ref")
 
 
 def parse_batch(batch: pa.Table) -> pa.Table:
@@ -42,6 +42,7 @@ def parse_batch(batch: pa.Table) -> pa.Table:
                        "flight_time")}
     create_time = meta.field("create_time").to_pylist()
     urls = batch["url"].to_pylist()
+    hosts = batch["host"].to_pylist()
     status = batch["status"].to_numpy()
     errors = batch["error"].to_pylist()
     bodies = batch["body"].to_pylist()
@@ -65,6 +66,7 @@ def parse_batch(batch: pa.Table) -> pa.Table:
         doc_id = "doc-" + synth.md5(urls[i])
         for j, fl in enumerate(flights):
             cols["url"].append(urls[i])
+            cols["host"].append(hosts[i])
             cols["doc_id"].append(doc_id)
             cols["seed_index"].append(int(seed_index[i]))
             cols["day_offset"].append(int(day_offset[i]))

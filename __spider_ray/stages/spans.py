@@ -84,6 +84,16 @@ def records_to_docs(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": doc_id, "spans": spans})
 
 
+def doc_from_group(group: pa.Table) -> pa.Table:
+    """Group-by-doc_id flavor of ``records_to_docs`` — used when the
+    records dataset has been re-partitioned (e.g. re-read from parquet)
+    and page-row contiguity can no longer be assumed.  The group is one
+    doc's records in arbitrary order; restore parse order by flight_idx
+    then assemble."""
+    idx = pa.compute.sort_indices(group, sort_keys=[("flight_idx", "ascending")])
+    return records_to_docs(group.take(idx))
+
+
 def explode_spans(batch: pa.Table) -> pa.Table:
     """documents batch → one row per span (flat, SQL-hashable):
     (doc_id, offset, kind, text, media_ref)."""

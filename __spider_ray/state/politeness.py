@@ -1,0 +1,149 @@
+"""Per-host politeness: token-bucket rate limiting + robots cache actor.
+
+Re-expresses the reference's politeness budget — ``DOWNLOAD_DELAY``
+2-4 s and ``CONCURRENT_REQUESTS`` 4-6 randomized per process
+(``settings.py:32-38``), plus the 1-3 s inter-seed sleep
+(``spiders/ctripSpider.py:229``) — as an explicit per-host token
+bucket: rate = 1/delay tokens/s, burst = max_concurrent.
+
+Design for scale (SURVEY.md §7.4): the actor is the single source of
+truth per host (politeness is a *global* per-host constraint even when
+fetch tasks are spread across salted partitions), but it must never be
+the bottleneck — grants are issued per (host, count) batch, ONE actor
+round-trip per batch, and the *worker* sleeps out the returned wait,
+not the actor.  Hosts are hash-sharded across a small actor pool so no
+single actor serializes all hosts.
+
+robots.txt: the reference disables it (``ROBOTSTXT_OBEY = False``,
+``settings.py:21``) — conformance mode reproduces allow-all; the
+engine supports a pluggable fetcher with TTL caching (north_rule).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+class TokenBucket:
+    __slots__ = ("rate", "burst", "tokens", "t_last")
+
+    def __init__(self, rate: float, burst: float, now: float):
+        self.rate = rate          # tokens/sec (= 1/delay_s); <=0 → unlimited
+        self.burst = burst
+        self.tokens = burst
+        self.t_last = now
+
+    def grant(self, n: int, now: float) -> float:
+        """Reserve n tokens; return seconds the caller must wait before
+        issuing them.  Allows the balance to go negative so one batched
+        call can reserve a whole batch (the caller paces itself)."""
+        if self.rate <= 0:
+            return 0.0
+        self.tokens = min(self.burst, self.tokens + (now - self.t_last) * self.rate)
+        self.t_last = now
+        self.tokens -= n
+        return max(0.0, -self.tokens / self.rate)
+
+
+@ray.remote(num_cpus=0.1)
+class HostPolicyActor:
+    """One shard of the politeness/robots state (hosts hash-route here)."""
+
+    def __init__(self, delay_s: float = 0.0, burst: int = 6,
+                 robots_ttl_s: float = 3600.0,
+                 robots_fetcher: Callable[[str], bool] | None = None):
+        self.delay_s = delay_s
+        self.burst = burst
+        self.buckets: dict[str, TokenBucket] = {}
+        self.robots: dict[str, tuple[bool, float]] = {}   # host → (allow, fetched_at)
+        self.robots_ttl_s = robots_ttl_s
+        self.robots_fetcher = robots_fetcher              # None → allow-all (settings.py:21)
+        self.granted = 0
+
+    def acquire(self, host_counts: dict[str, int]) -> float:
+        """Batched token grant: reserve count tokens per host, return the
+        max wait the calling worker must sleep before fetching the batch."""
+        now = time.monotonic()
+        wait = 0.0
+        rate = (1.0 / self.delay_s) if self.delay_s > 0 else 0.0
+        for host, n in host_counts.items():
+            b = self.buckets.get(host)
+            if b is None:
+                b = self.buckets[host] = TokenBucket(rate, float(self.burst), now)
+            wait = max(wait, b.grant(n, now))
+            self.granted += n
+        return wait
+
+    def robots_allowed(self, hosts: list[str]) -> list[bool]:
+        """TTL-cached robots decisions, one bool per host."""
+        now = time.monotonic()
+        out = []
+        for h in hosts:
+            cached = self.robots.get(h)
+            if cached is None or now - cached[1] > self.robots_ttl_s:
+                allow = True if self.robots_fetcher is None else bool(self.robots_fetcher(h))
+                self.robots[h] = (allow, now)
+                cached = self.robots[h]
+            out.append(cached[0])
+        return out
+
+    def stats(self) -> dict:
+        return {"hosts": len(self.buckets), "granted": self.granted,
+                "robots_cached": len(self.robots)}
+
+
+class HostPolicyClient:
+    """Serializable client for fetch workers: shards hosts across a
+    small HostPolicyActor pool; one actor call per (shard, batch)."""
+
+    def __init__(self, n_actors: int = 2, delay_s: float = 0.0, burst: int = 6,
+                 robots_fetcher: Callable[[str], bool] | None = None,
+                 handles: list | None = None):
+        self.n_actors = n_actors
+        if handles is not None:
+            self.actors = handles
+        else:
+            # unnamed: one pool per crawl run, dies with its handles —
+            # config (delay/burst) can never go stale across runs
+            self.actors = [HostPolicyActor.remote(delay_s, burst, 3600.0,
+                                                  robots_fetcher)
+                           for _ in range(n_actors)]
+
+    def _shard_of(self, host: str) -> int:
+        return hash(host) % self.n_actors
+
+    def acquire_for_batch(self, hosts: pa.Array | pa.ChunkedArray) -> None:
+        """Group the batch by host, request grants, sleep out the max
+        wait.  Called once per fetch batch (stages/fetch.py)."""
+        vals, counts = np.unique(np.asarray(hosts.to_pylist(), dtype=object),
+                                 return_counts=True)
+        per_shard: dict[int, dict[str, int]] = {}
+        for h, c in zip(vals, counts):
+            per_shard.setdefault(self._shard_of(str(h)), {})[str(h)] = int(c)
+        waits = ray.get([self.actors[s].acquire.remote(hc)
+                         for s, hc in per_shard.items()])
+        w = max(waits, default=0.0)
+        if w > 0:
+            time.sleep(w)
+
+    def robots_mask(self, hosts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        """Per-row allow mask, resolved via the TTL cache actors."""
+        arr = np.asarray(hosts.to_pylist(), dtype=object)
+        uniq = np.unique(arr)
+        per_shard: dict[int, list[str]] = {}
+        for h in uniq:
+            per_shard.setdefault(self._shard_of(str(h)), []).append(str(h))
+        allow: dict[str, bool] = {}
+        results = ray.get([self.actors[s].robots_allowed.remote(hs)
+                           for s, hs in per_shard.items()])
+        for hs, res in zip(per_shard.values(), results):
+            allow.update(zip(hs, res))
+        return np.array([allow[str(h)] for h in arr], dtype=bool)
+
+    def stats(self) -> list[dict]:
+        return ray.get([a.stats.remote() for a in self.actors])

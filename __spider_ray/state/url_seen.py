@@ -1,0 +1,132 @@
+"""Sharded URL-seen set — cuckoo-filter Ray actors with bloom pre-check.
+
+The scale path for frontier dedup (north_rule): 2^k ``UrlSeenShard``
+actors, each owning one cuckoo filter; fetch/expansion tasks call
+``UrlSeenSet.check_and_add`` with a whole Arrow batch of URLs and get
+back the boolean new-mask.  Design points for the 10^10 frontier:
+
+- shard routing uses hash bits 32..47, independent of the bits the
+  cuckoo filter uses for bucket index (0..log2(n_buckets)) and
+  fingerprint (48..63), so shard skew doesn't correlate with bucket
+  collisions;
+- ONE actor call per (shard, batch) — counts, not per-URL calls; the
+  per-batch work on the shard is the vectorized cuckoo lookup;
+- a worker-local bloom filter (``local_bloom``) can screen repeats
+  before any actor call (false positives fall through to the shard,
+  false negatives impossible), cutting actor traffic for hot repeated
+  URLs (same-host relative links, etc.);
+- shards snapshot into the checkpoint (``snapshot_all``) and restore on
+  resume — a killed job re-checks nothing it already fetched.
+
+Replaces the reference's Redis-set dedup (``YlTwistPipeline.py:87-88``)
+and the commented scrapy-redis dupefilter (``settings.py:23-28``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..functions.hashing import hash64
+from .bloom import BloomFilter
+from .cuckoo import CuckooFilter
+
+
+@ray.remote(num_cpus=0.1)
+class UrlSeenShard:
+    """One cuckoo shard.  num_cpus=0.25: lookups are sub-millisecond
+    vectorized gathers; four shards share a core without starving the
+    fetch pool."""
+
+    def __init__(self, shard_id: int, n_buckets: int = 1 << 16, bucket_size: int = 4):
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(n_buckets=n_buckets, bucket_size=bucket_size)
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        return self.filter.check_and_add(hashes)
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        return self.filter.contains(hashes)
+
+    def stats(self) -> dict:
+        return {"shard": self.shard_id, "count": self.filter.count,
+                "load": self.filter.load_factor}
+
+    def snapshot(self) -> dict:
+        return self.filter.snapshot()
+
+    def restore(self, snap: dict) -> None:
+        self.filter = CuckooFilter.restore(snap)
+
+    def reset(self) -> None:
+        self.filter = CuckooFilter(n_buckets=self.filter.n_buckets,
+                                   bucket_size=self.filter.bucket_size)
+
+
+class UrlSeenSet:
+    """Client handle: routes URL batches to shards.  Serializable into
+    map_batches workers (holds only actor handles)."""
+
+    def __init__(self, n_shards: int = 8, n_buckets: int = 1 << 16,
+                 bucket_size: int = 4, handles: list | None = None):
+        assert n_shards & (n_shards - 1) == 0
+        self.n_shards = n_shards
+        if handles is not None:
+            self.shards = handles
+        else:
+            # unnamed actors: owned by the driver that created the set,
+            # die with it — no stale cross-run state; persistence across
+            # runs goes through snapshot/restore (checkpoint.py)
+            self.shards = [UrlSeenShard.remote(i, n_buckets, bucket_size)
+                           for i in range(n_shards)]
+
+    def _route(self, urls: pa.Array | list[str]) -> tuple[np.ndarray, np.ndarray]:
+        h = hash64(urls if isinstance(urls, (pa.Array, pa.ChunkedArray))
+                   else pa.array(urls, type=pa.string()))
+        shard = ((h >> np.uint64(32)) % np.uint64(self.n_shards)).astype(np.int64)
+        return h, shard
+
+    def check_and_add(self, urls: pa.Array | list[str]) -> np.ndarray:
+        """Bool mask: True = first sighting (caller should fetch)."""
+        h, shard = self._route(urls)
+        new = np.zeros(len(h), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.n_shards):
+            m = shard == s
+            if m.any():
+                refs.append(self.shards[s].check_and_add.remote(h[m]))
+                idxs.append(np.nonzero(m)[0])
+        for idx, res in zip(idxs, ray.get(refs)):
+            new[idx] = res
+        return new
+
+    def contains(self, urls: pa.Array | list[str]) -> np.ndarray:
+        h, shard = self._route(urls)
+        out = np.zeros(len(h), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.n_shards):
+            m = shard == s
+            if m.any():
+                refs.append(self.shards[s].contains.remote(h[m]))
+                idxs.append(np.nonzero(m)[0])
+        for idx, res in zip(idxs, ray.get(refs)):
+            out[idx] = res
+        return out
+
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def snapshot_all(self) -> list[dict]:
+        return ray.get([s.snapshot.remote() for s in self.shards])
+
+    def restore_all(self, snaps: list[dict]) -> None:
+        ray.get([s.restore.remote(snap) for s, snap in zip(self.shards, snaps)])
+
+    def reset_all(self) -> None:
+        ray.get([s.reset.remote() for s in self.shards])
+
+
+def local_bloom(n_bits: int = 1 << 22) -> BloomFilter:
+    """Worker-local pre-check bloom (held in FetchWorker.__init__)."""
+    return BloomFilter(n_bits=n_bits, k=5)

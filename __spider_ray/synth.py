@@ -150,6 +150,51 @@ def page_body(url: str) -> bytes:
     ).encode()
 
 
+# ---------------------------------------------------------------- detail pages (depth 1)
+# the two-hop path: list page → per-flight detail API (ylSpider06.py:508-514),
+# whose economyList feeds the lowest-economy-fare selector (ylSpider06.py:515-564)
+LIMIT_LABELS = ["", "限时特惠", "婴儿不可预订", "会员专享"]   # last is excluded by M12
+ELIGIBLE_LABELS = {"限时特惠", "婴儿不可预订"}
+
+
+def detail_url(host: str, plane_no: str, off_date: str) -> str:
+    return f"https://{host}/detail/{plane_no}/{off_date}"
+
+
+def cabin_fields(durl: str, j: int) -> dict:
+    """Cabin *j* of a detail page — md5-derived, SQL-mirrorable.
+
+    Shapes the fields the reference reads off ``economyList``
+    (``ylSpider06.py:515-557``): ruleId / limitLabel eligibility,
+    clientTicketPrice, lep with lrp fallback, meal, baggage.
+    """
+    hc = md5(f"{durl}@{j}")
+    price = 150 + _hx(hc, 6, 10) % 1500
+    return {
+        "cabin_idx": j,
+        "ruleId": "00000" if _hx(hc, 0, 1) < 6 else "1" + hc[1:5],
+        "limitLabel": LIMIT_LABELS[_hx(hc, 5, 6) % 4],
+        "clientTicketPrice": price,
+        "lep": "" if _hx(hc, 10, 11) < 4 else str(price - _hx(hc, 11, 13) % 100),
+        "lrp": str(price - _hx(hc, 13, 15) % 50),
+        "ml": "有" if _hx(hc, 15, 16) < 8 else "无",
+        "baggage": _hx(hc, 16, 18) % 30,
+    }
+
+
+def detail_n_cabins(durl: str) -> int:
+    return 2 + _hx(md5(durl), 0, 1) % 4
+
+
+def detail_body(durl: str) -> bytes:
+    """Synthetic detail response: economyList of cabins (always 200 —
+    the reference's detail fetch has no status routing of its own)."""
+    return json.dumps(
+        {"economyList": [cabin_fields(durl, j) for j in range(detail_n_cabins(durl))]},
+        ensure_ascii=False,
+    ).encode()
+
+
 def pick_ua(url: str) -> str:
     """Deterministic UA pick (replaces random.choice, ctripSpider.py:157)."""
     return USER_AGENTS[_hx(md5(url), 2, 3) % len(USER_AGENTS)]

@@ -1,0 +1,122 @@
+"""Unit tests for the distributed-state primitives (bloom/cuckoo/actors)."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from __spider_ray.functions.hashing import hash64
+from __spider_ray.state.bloom import BloomFilter
+from __spider_ray.state.cuckoo import CuckooFilter
+from __spider_ray.state.politeness import HostPolicyClient, TokenBucket
+from __spider_ray.state.url_seen import UrlSeenSet
+
+
+def _hashes(n, seed=0):
+    return hash64(pa.array([f"url-{seed}-{i}" for i in range(n)]))
+
+
+def test_bloom_no_false_negatives():
+    b = BloomFilter(n_bits=1 << 16, k=5)
+    h = _hashes(2000)
+    b.add(h)
+    assert b.contains(h).all()
+
+
+def test_bloom_false_positive_rate():
+    b = BloomFilter(n_bits=1 << 18, k=7)
+    b.add(_hashes(5000, seed=1))
+    fp = b.contains(_hashes(5000, seed=2)).mean()
+    assert fp < 0.01, fp
+
+
+def test_bloom_snapshot_roundtrip():
+    b = BloomFilter(n_bits=1 << 14, k=3)
+    h = _hashes(100)
+    b.add(h)
+    b2 = BloomFilter.restore(b.snapshot())
+    assert b2.contains(h).all()
+
+
+def test_cuckoo_check_and_add():
+    f = CuckooFilter(n_buckets=1 << 12)
+    h = _hashes(3000)
+    new = f.check_and_add(h)
+    assert new.all()
+    assert f.contains(h).all()
+    again = f.check_and_add(h)
+    assert not again.any()
+
+
+def test_cuckoo_in_batch_duplicates():
+    f = CuckooFilter(n_buckets=1 << 10)
+    h = np.concatenate([_hashes(50), _hashes(50)])   # each hash twice
+    new = f.check_and_add(h)
+    assert new[:50].all() and not new[50:].any()
+
+
+def test_cuckoo_delete_and_load():
+    f = CuckooFilter(n_buckets=1 << 10)
+    h = _hashes(500)
+    f.check_and_add(h)
+    assert 0 < f.load_factor < 1
+    ok = f.delete(h[:100])
+    assert ok.all()
+    # deleted keys read as absent (modulo fp collisions with remaining keys)
+    assert f.contains(h[:100]).mean() < 0.1
+
+
+def test_cuckoo_snapshot_roundtrip():
+    f = CuckooFilter(n_buckets=1 << 10)
+    h = _hashes(300)
+    f.check_and_add(h)
+    f2 = CuckooFilter.restore(f.snapshot())
+    assert f2.contains(h).all()
+    assert f2.count == f.count
+    assert not f2.check_and_add(h).any()
+
+
+def test_url_seen_actor_pool():
+    seen = UrlSeenSet(n_shards=2, n_buckets=1 << 12)
+    urls = [f"https://h{i % 7}.test/p{i}" for i in range(4000)]
+    assert seen.check_and_add(urls).all()
+    assert not seen.check_and_add(urls).any()
+    assert seen.contains(urls).all()
+    stats = seen.stats()
+    assert sum(s["count"] for s in stats) == 4000
+
+
+def test_url_seen_snapshot_restore():
+    seen = UrlSeenSet(n_shards=2, n_buckets=1 << 12)
+    urls = [f"https://snap.test/{i}" for i in range(500)]
+    seen.check_and_add(urls)
+    snaps = seen.snapshot_all()
+    seen2 = UrlSeenSet(n_shards=2, n_buckets=1 << 12)
+    seen2.restore_all(snaps)
+    assert not seen2.check_and_add(urls).any()
+
+
+def test_token_bucket_rate():
+    now = 0.0
+    b = TokenBucket(rate=10.0, burst=5.0, now=now)   # 10 tokens/s, burst 5
+    assert b.grant(5, now) == 0.0                    # burst absorbed
+    w = b.grant(10, now)                             # 10 more → wait 1s
+    assert abs(w - 1.0) < 1e-9
+    assert b.grant(1, now + 2.0) == 0.0              # refilled (capped at burst)
+
+
+def test_politeness_enforces_delay():
+    pol = HostPolicyClient(n_actors=1, delay_s=0.05, burst=2)
+    hosts = pa.array(["slow.test"] * 10)
+    t0 = time.monotonic()
+    pol.acquire_for_batch(hosts)      # 10 tokens at 20/s, burst 2 → ~0.4s wait
+    elapsed = time.monotonic() - t0
+    assert elapsed > 0.25, elapsed
+
+
+def test_robots_allow_all_default():
+    pol = HostPolicyClient(n_actors=2, delay_s=0.0)
+    mask = pol.robots_mask(pa.array([f"h{i}.test" for i in range(20)]))
+    assert mask.all()
