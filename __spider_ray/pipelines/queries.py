@@ -147,6 +147,25 @@ def _crawl_lowest_fare(sf_dir: str):
     return crawl.lowest_fares(sf_dir)
 
 
+def _media_meta(sf_dir: str):
+    """Multimodal plumbing: media spans → actor-pool decode (stubbed
+    deterministic dims) → vectorized resize planning."""
+    from ..stages import media
+    spans = crawl.exploded_spans(sf_dir)
+    refs = spans.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "media"))
+                   .select(["doc_id", "media_ref"]),
+        batch_format="pyarrow")
+    decoded = refs.map_batches(media.MediaDecodeWorker,
+                               batch_format="pyarrow",
+                               batch_size=media.MEDIA_BATCH_SIZE,
+                               concurrency=2, num_cpus=0.5)
+    return decoded.map_batches(media.resize_plan_batch, batch_format="pyarrow")
+
+
+_MEDIA_SQL = None  # composed in _ensure_builtin (needs CRAWL_SPANS)
+
+
 def _crawl_documents(sf_dir: str):
     """Nested span docs (rows-only check; values verified via
     crawl_spans' flat projection and pytest span-sequence tests)."""
@@ -191,6 +210,19 @@ def _ensure_builtin() -> None:
     register("crawl_od_counts", _crawl_od_counts, _CRAWL_SQL["crawl_od_counts"])
     register("crawl_min_price", _crawl_min_price, _CRAWL_SQL["crawl_min_price"])
     register("crawl_dead_letter", _crawl_dead_letter, _CRAWL_SQL["crawl_dead_letter"])
+    media_sql = f"""{osql.CRAWL_SPANS},
+media AS (
+  SELECT doc_id, media_ref,
+    100 + ('0x' || substr(md5(media_ref), 1, 4))::BIGINT % 1180 AS width,
+    100 + ('0x' || substr(md5(media_ref), 5, 4))::BIGINT % 620 AS height
+  FROM spans WHERE kind = 'media'
+)
+SELECT doc_id, media_ref, width, height,
+  width * height AS n_pixels,
+  CAST(floor(width * least(1.0, 512.0 / greatest(width, height))) AS BIGINT) AS target_w,
+  CAST(floor(height * least(1.0, 512.0 / greatest(width, height))) AS BIGINT) AS target_h
+FROM media"""
+    register("media_meta", _media_meta, media_sql)
     register("crawl_cabins", _crawl_cabins, _CRAWL_SQL["crawl_cabins"])
     register("crawl_lowest_fare", _crawl_lowest_fare, _CRAWL_SQL["crawl_lowest_fare"])
     register("crawl_documents", _crawl_documents, None)

@@ -1,4 +1,441 @@
 """Relational operator coverage over the driver tables (SURVEY.md §2).
 
-Placeholder — populated with grouped aggregates, joins, sorts, dedup.
+Each query exercises one operator family from the inventory — grouped
+aggregation (A1/A2), broadcast dim join (J1/J2), semi/anti join (§2.4),
+sort+limit top-k (O1), distinct (A5), windowed/sessionized streams
+(§2.9), grouped argmax (A4), cumulative windows, scalar batteries
+(§2.8) — implemented Ray-Data-first and checked against DuckDB.
+
+Exactness discipline: double aggregations are order-dependent in
+floating point, so every SUM is taken over integer cents
+(``CAST(round(x*100) AS BIGINT)``) — associative, exact, identical in
+both engines.  Averages are exposed as (sum, count) pairs.
+
+Scale notes (100 TB thinking):
+- small sides (nation/region/customer-keys/filtered orders) are read
+  once driver-side and broadcast into ``map_batches`` closures — Ray
+  ships them to each task group once, no shuffle join;
+- multi-group aggregates pre-aggregate inside the batch (pyarrow
+  ``Table.group_by``) before the tiny cross-block ``groupby`` — the
+  all-to-all moves one row per (key, batch), not per input row;
+- per-key ordered logic (sessions, cumsum) uses
+  ``groupby(key).map_groups`` — the shuffle key is the partition key
+  documented in SURVEY.md §7.3.
 """
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from .queries import register
+
+SEG = "BUILDING"
+Q3_DATE = "1995-03-15"
+Q1_DATE = "1998-09-01"
+
+
+def _cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
+    return pc.round(pc.multiply(col, float(scale))).cast(pa.int64())
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ------------------------------------------------------------------ Q1-style
+def q_pricing_summary(sf_dir: str):
+    """A1/A2 grouped aggregation with in-batch pre-aggregation."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"],
+                                   pa.scalar(np.datetime64(Q1_DATE, "us"))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(1.0, t["l_tax"]))
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty_c": _cents(t["l_quantity"]),
+            "base_c": _cents(t["l_extendedprice"]),
+            "disc_c": pc.round(pc.multiply(disc, 10000.0)).cast(pa.int64()),
+            "charge_c": pc.round(pc.multiply(charge, 1000000.0)).cast(pa.int64()),
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("base_c", "sum"), ("disc_c", "sum"),
+             ("charge_c", "sum"), ("qty_c", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty_cents",
+                                 "sum_base_cents", "sum_disc_cents",
+                                 "sum_charge_micros", "n_rows"])
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+                        Sum("sum_base_cents", alias_name="sum_base_cents"),
+                        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+                        Sum("sum_charge_micros", alias_name="sum_charge_micros"),
+                        Sum("n_rows", alias_name="n_rows")))
+    return out
+
+
+SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS BIGINT) AS sum_charge_micros,
+  COUNT(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_DATE} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------------ Q3-style
+def q_top_orders(sf_dir: str):
+    """Broadcast hash join (J1 pattern at scale): the filtered small
+    side (segment customers ⋈ dated orders) broadcasts into a lineitem
+    map_batches; revenue aggregates per order; top-10 sort+limit (O1)."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = set(cust.filter(pc.equal(cust["c_mktsegment"], SEG))["c_custkey"].to_pylist())
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.filter(pc.less(orders["o_orderdate"],
+                                   pa.scalar(np.datetime64(Q3_DATE, "us"))))
+    omask = pa.array([k in keys for k in orders["o_custkey"].to_pylist()])
+    orders = orders.filter(omask)
+    odate = dict(zip(orders["o_orderkey"].to_pylist(),
+                     orders["o_orderdate"].to_pylist()))
+    okeys = set(odate)
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"],
+                                pa.scalar(np.datetime64(Q3_DATE, "us"))))
+        m = pc.is_in(t["l_orderkey"], value_set=pa.array(sorted(okeys), pa.int64()))
+        t = t.filter(m)
+        rev = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            10000.0)).cast(pa.int64())
+        g = pa.table({"o_orderkey": t["l_orderkey"], "revenue_cents": rev}) \
+              .group_by("o_orderkey").aggregate([("revenue_cents", "sum")])
+        return g.rename_columns(["o_orderkey", "revenue_cents"])
+
+    from ray.data.aggregate import Sum
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("o_orderkey")
+             .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+    top = agg.sort(["revenue_cents", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+    def attach_date(t: pa.Table) -> pa.Table:
+        dates = pa.array([odate[k] for k in t["o_orderkey"].to_pylist()],
+                         type=pa.timestamp("us"))
+        return t.append_column("o_orderdate", dates)
+    return top.map_batches(attach_date, batch_format="pyarrow")
+
+
+SQL_TOP_ORDERS = f"""
+SELECT l_orderkey AS o_orderkey,
+  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  ANY_VALUE(o_orderdate) AS o_orderdate
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{SEG}' AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------- dim rollups
+def q_region_rollup(sf_dir: str):
+    """J1/J2 broadcast dim chain: customer → nation → region."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(),
+                   nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy()
+        rname = pa.array([r2name[n2r[int(k)]] for k in nk], pa.string())
+        g = pa.table({"r_name": rname, "bal_c": _cents(t["c_acctbal"])}) \
+              .group_by("r_name").aggregate([("bal_c", "sum"), ("bal_c", "count")])
+        return g.rename_columns(["r_name", "acctbal_cents", "n_customers"])
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("r_name")
+              .aggregate(Sum("acctbal_cents", alias_name="acctbal_cents"),
+                         Sum("n_customers", alias_name="n_customers")))
+
+
+SQL_REGION_ROLLUP = """
+SELECT r_name,
+  CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+  COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_supplier_nation(sf_dir: str):
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    n2name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def add_nation(t: pa.Table) -> pa.Table:
+        names = pa.array([n2name[int(k)] for k in t["s_nationkey"].to_numpy()],
+                         pa.string())
+        return pa.table({"n_name": names, "bal_c": _cents(t["s_acctbal"])})
+
+    from ray.data.aggregate import Count, Sum
+    out = (ds.map_batches(add_nation, batch_format="pyarrow")
+             .groupby("n_name")
+             .aggregate(Sum("bal_c", alias_name="acctbal_cents"),
+                        Count(alias_name="n_suppliers")))
+    return out
+
+
+SQL_SUPPLIER_NATION = """
+SELECT n_name,
+  CAST(SUM(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+  COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ------------------------------------------------------------- sort / top-k
+def q_top_parts(sf_dir: str):
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["p_partkey"], "p_name": t["p_name"],
+                         "price_cents": _cents(t["p_retailprice"])})
+    return (ds.map_batches(prep, batch_format="pyarrow")
+              .sort(["price_cents", "p_partkey"], descending=[True, False])
+              .limit(10))
+
+
+SQL_TOP_PARTS = """
+SELECT p_partkey, p_name, CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+FROM part ORDER BY price_cents DESC, p_partkey LIMIT 10
+"""
+
+
+# ----------------------------------------------------------------- distinct
+def q_distinct_segments(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    return ds.groupby("c_mktsegment").count().select_columns(["c_mktsegment"])
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# ------------------------------------------------------------ semi/anti join
+BIG_ORDER_CENTS = 30_000_000   # $300k — keeps both join results non-empty
+
+
+def _order_custkeys(sf_dir: str) -> set[int]:
+    """Customers holding at least one order over $300k (restricting the
+    key set keeps the anti-join non-empty at every sf)."""
+    t = pq.read_table(f"{sf_dir}/orders.parquet",
+                      columns=["o_custkey", "o_totalprice"])
+    cents = pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64())
+    t = t.filter(pc.greater(cents, BIG_ORDER_CENTS))
+    return set(t["o_custkey"].to_pylist())
+
+
+def q_semi_join_customers(sf_dir: str):
+    """Semi join via broadcast key set (§2.4: frontier ⋉ seen-set analog)."""
+    keys = _order_custkeys(sf_dir)
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    kset = pa.array(sorted(keys), pa.int64())
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=kset)),
+        batch_format="pyarrow")
+
+
+SQL_SEMI_JOIN = f"""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE CAST(round(o_totalprice*100) AS BIGINT) > {BIG_ORDER_CENTS})
+"""
+
+
+def q_anti_join_customers(sf_dir: str):
+    keys = _order_custkeys(sf_dir)
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    kset = pa.array(sorted(keys), pa.int64())
+    return ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=kset))),
+        batch_format="pyarrow")
+
+
+SQL_ANTI_JOIN = f"""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE CAST(round(o_totalprice*100) AS BIGINT) > {BIG_ORDER_CENTS})
+"""
+
+
+# ------------------------------------------------------------ event streams
+def q_events_hourly(sf_dir: str):
+    """Tumbling window (§2.9): per (event_type, hour) count + value sum."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        g = pa.table({"event_type": t["event_type"], "hour": hour,
+                      "value_c": _cents(t["value"])}) \
+              .group_by(["event_type", "hour"]) \
+              .aggregate([("value_c", "sum"), ("value_c", "count")])
+        return g.rename_columns(["event_type", "hour", "value_cents", "n_events"])
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "hour"])
+              .aggregate(Sum("value_cents", alias_name="value_cents"),
+                         Sum("n_events", alias_name="n_events")))
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+  COUNT(*) AS n_events
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_events_sessions(sf_dir: str):
+    """Sessionization (30-min gap) — groupby(user).map_groups over the
+    ts-sorted group (the §2.9 ordered-log pattern)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        n_sessions = int(gap.sum()) + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(g)]})
+    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    return out
+
+
+SQL_EVENTS_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+def q_events_argmax(sf_dir: str):
+    """Grouped argmax (A4 mirror): each user's highest-value event."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def argmax(g: pa.Table) -> pa.Table:
+        vc = _cents(g["value"])
+        g = g.drop_columns(["value"]).append_column("value_cents", vc)
+        idx = pc.sort_indices(g, sort_keys=[("value_cents", "descending"),
+                                            ("event_id", "ascending")])
+        return g.take(idx[:1])
+    return ds.groupby("user_id").map_groups(argmax, batch_format="pyarrow")
+
+
+SQL_EVENTS_ARGMAX = """
+SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS value_cents
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id) = 1
+"""
+
+
+def q_orders_cumulative(sf_dir: str):
+    """Per-customer running total (cumulative window via map_groups)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        cents = (g["o_totalprice"] * 100).round().astype("int64")
+        return pd.DataFrame({"o_custkey": g["o_custkey"],
+                             "o_orderkey": g["o_orderkey"],
+                             "cum_cents": cents.cumsum()})
+    return ds.groupby("o_custkey").map_groups(cum, batch_format="pandas")
+
+
+SQL_ORDERS_CUMULATIVE = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM orders
+"""
+
+
+def q_events_scalar(sf_dir: str):
+    """Scalar battery (§2.8): date trunc/format, regex extract from the
+    JSON props string, numeric scaling — all pyarrow.compute kernels."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        k = pc.extract_regex(t["props"], pattern=r"(?P<k>[0-9]+)")
+        kv = pc.cast(pc.struct_field(k, "k"), pa.int64())
+        etype_upper = pc.utf8_upper(t["event_type"])
+        return pa.table({
+            "event_id": t["event_id"],
+            "day": day,
+            "etype_upper": etype_upper,
+            "k": kv,
+            "value_cents": _cents(t["value"]),
+            "is_purchase": pc.equal(t["event_type"], "purchase"),
+        })
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_EVENTS_SCALAR = """
+SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
+  upper(event_type) AS etype_upper,
+  CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k,
+  CAST(round(value*100) AS BIGINT) AS value_cents,
+  event_type = 'purchase' AS is_purchase
+FROM events
+"""
+
+
+# -------------------------------------------------------------- registration
+register("rel_pricing_summary", q_pricing_summary, SQL_PRICING)
+register("rel_top_orders", q_top_orders, SQL_TOP_ORDERS)
+register("rel_region_rollup", q_region_rollup, SQL_REGION_ROLLUP)
+register("rel_supplier_nation", q_supplier_nation, SQL_SUPPLIER_NATION)
+register("rel_top_parts", q_top_parts, SQL_TOP_PARTS)
+register("rel_distinct_segments", q_distinct_segments, SQL_DISTINCT_SEGMENTS)
+register("rel_semi_join_customers", q_semi_join_customers, SQL_SEMI_JOIN)
+register("rel_anti_join_customers", q_anti_join_customers, SQL_ANTI_JOIN)
+register("rel_events_hourly", q_events_hourly, SQL_EVENTS_HOURLY)
+register("rel_events_sessions", q_events_sessions, SQL_EVENTS_SESSIONS)
+register("rel_events_argmax", q_events_argmax, SQL_EVENTS_ARGMAX)
+register("rel_orders_cumulative", q_orders_cumulative, SQL_ORDERS_CUMULATIVE)
+register("rel_events_scalar", q_events_scalar, SQL_EVENTS_SCALAR)

@@ -1,4 +1,219 @@
-"""Training-data ops over documents/embeddings (dedup, text, ANN).
+"""Training-data ops over documents/embeddings: text analysis, dedup
+suite, similarity search (first-class components per the build brief).
 
-Placeholder — populated with MinHash-LSH, SimHash, lang-id, knn.
+The dedup corpus is the ``documents`` table plus deterministically
+injected duplicates (exact copies every 5th doc, near-copies with a
+3-token suffix every 7th) so exact/near-dup behavior is observable at
+every sf — the same injection is a SQL CTE for the oracle.
 """
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..stages import dedup as dd
+from ..stages import knn as knn_mod
+from ..stages import text as tx
+from .queries import register
+
+NEAR_SUFFIX = " zzextra zzdup zztail"
+
+CORPUS_CTE = f"""
+corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 100000 AS BIGINT), text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT CAST(doc_id + 200000 AS BIGINT), text || '{NEAR_SUFFIX}'
+  FROM documents WHERE doc_id % 7 = 0
+)"""
+
+
+def corpus(sf_dir: str) -> ray.data.Dataset:
+    """documents ∪ exact dups ∪ near dups (deterministic injection)."""
+    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def dup5(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        t = t.filter(pa.array(ids % 5 == 0))           # pyarrow has no mod kernel
+        return pa.table({"doc_id": pc.add(t["doc_id"].cast(pa.int64()), 100000),
+                         "text": t["text"]})
+
+    def near7(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        t = t.filter(pa.array(ids % 7 == 0))
+        txt = pc.binary_join_element_wise(t["text"], pa.scalar(NEAR_SUFFIX), "")
+        return pa.table({"doc_id": pc.add(t["doc_id"].cast(pa.int64()), 200000),
+                         "text": txt})
+
+    def base_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()), "text": t["text"]})
+
+    return (base.map_batches(base_ids, batch_format="pyarrow")
+                .union(base.map_batches(dup5, batch_format="pyarrow"))
+                .union(base.map_batches(near7, batch_format="pyarrow")))
+
+
+# ------------------------------------------------------------- text analysis
+def q_text_stats(sf_dir: str):
+    return corpus(sf_dir).map_batches(tx.text_stats_batch, batch_format="pyarrow")
+
+
+SQL_TEXT_STATS = f"""WITH {CORPUS_CTE.strip()}
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq_n,
+  CAST(len(regexp_extract_all(text, '{tx.BPE_RE}')) AS BIGINT) AS bpe_n
+FROM corpus
+"""
+
+
+def q_text_quality(sf_dir: str):
+    return corpus(sf_dir).map_batches(tx.text_quality_batch, batch_format="pyarrow")
+
+
+_EN = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+SQL_TEXT_QUALITY = f"""WITH {CORPUS_CTE.strip()}
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n,
+  CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_EN}))) AS BIGINT) AS stop_n,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq_n,
+  CAST(list_max(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS max_tok_len,
+  CAST(len(list_filter(string_split(text, ' '), x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS digit_tok_n
+FROM corpus
+"""
+
+
+def q_lang_id(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(tx.lang_id_batch, batch_format="pyarrow")
+
+
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return (f"CAST(len(list_filter(string_split(text, ' '), "
+            f"x -> x IN ({words}))) AS BIGINT)")
+
+
+SQL_LANG_ID = f"""
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    regexp_matches(text, '{tx.CJK_RE}') AS has_cjk,
+    {_hits_sql('en')} AS hits_en,
+    {_hits_sql('de')} AS hits_de,
+    {_hits_sql('fr')} AS hits_fr,
+    {_hits_sql('es')} AS hits_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN has_cjk THEN 'zh'
+       WHEN hits_en > 0 AND hits_en >= greatest(hits_de, hits_fr, hits_es) THEN 'en'
+       WHEN hits_de > 0 AND hits_de >= greatest(hits_en, hits_fr, hits_es) THEN 'de'
+       WHEN hits_fr > 0 AND hits_fr >= greatest(hits_en, hits_de, hits_es) THEN 'fr'
+       WHEN hits_es > 0 AND hits_es >= greatest(hits_en, hits_de, hits_fr) THEN 'es'
+       ELSE 'unknown' END AS pred_lang,
+  hits_en, hits_de, hits_fr, hits_es
+FROM h
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    return corpus(sf_dir).map_batches(tx.fingerprint_batch, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT = f"""WITH {CORPUS_CTE.strip()}
+SELECT doc_id, md5(lower(text)) AS fp FROM corpus
+"""
+
+
+# -------------------------------------------------------------------- dedup
+def q_dedup_exact(sf_dir: str):
+    """A5/S9: exact dedup — groupby(content-hash) keep min doc_id."""
+    ds = corpus(sf_dir).map_batches(tx.fingerprint_batch, batch_format="pyarrow")
+
+    def first(g: pa.Table) -> pa.Table:
+        ids = np.sort(g["doc_id"].to_numpy())
+        return pa.table({"fp": g["fp"].slice(0, 1),
+                         "doc_id": pa.array(ids[:1]),
+                         "n_copies": pa.array([len(ids)], pa.int64())})
+    return ds.groupby("fp").map_groups(first, batch_format="pyarrow")
+
+
+SQL_DEDUP_EXACT = f"""WITH {CORPUS_CTE.strip()}
+SELECT md5(lower(text)) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM corpus GROUP BY md5(lower(text))
+"""
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs (signature-estimate ≥ 70%).
+    No SQL oracle (LSH is not SQL-expressible); exactness is covered by
+    tests/test_dedup.py against brute-force n-gram Jaccard."""
+    docs = corpus(sf_dir)
+    sigs, pairs = dd.minhash_candidates(docs)
+    pairs_t = pa.Table.from_pandas(pairs.to_pandas())
+    involved = set(pairs_t["a"].to_pylist()) | set(pairs_t["b"].to_pylist())
+    sig_rows = sigs.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"],
+                                    value_set=pa.array(sorted(involved), pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+    sig_map = {int(r.doc_id): np.array(r.sig, dtype=np.int64).astype(np.uint64)
+               for r in sig_rows.itertuples()}
+    return dd.verify_pairs_with_sigs(pairs_t, sig_map, threshold=0.7)
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (hamming ≤ 3). Rows-only (tested)."""
+    return dd.simhash_near_dups(corpus(sf_dir), max_hamming=3)
+
+
+# ----------------------------------------------------------------- similarity
+def q_knn_brute(sf_dir: str):
+    return knn_mod.brute_force_topk(sf_dir, n_queries=10, k=5)
+
+
+SQL_KNN_BRUTE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_cosine_similarity(e.embedding, q.qe) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id)
+       AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_knn_lsh(sf_dir: str):
+    """ANN flavor (LSH multiprobe). Approximate → rows-only; recall vs
+    brute force asserted in tests."""
+    return knn_mod.lsh_topk(sf_dir, n_queries=10, k=5)
+
+
+def q_emb_near_dups(sf_dir: str):
+    return knn_mod.embedding_near_dups(sf_dir, threshold=0.2)
+
+
+register("text_stats", q_text_stats, SQL_TEXT_STATS)
+register("text_quality", q_text_quality, SQL_TEXT_QUALITY)
+register("text_lang_id", q_lang_id, SQL_LANG_ID)
+register("text_fingerprint", q_fingerprint, SQL_FINGERPRINT)
+register("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT)
+register("dedup_minhash", q_dedup_minhash, None)
+register("dedup_simhash", q_dedup_simhash, None)
+register("knn_brute_topk", q_knn_brute, SQL_KNN_BRUTE)
+register("knn_lsh_topk", q_knn_lsh, None)
+register("emb_near_dups", q_emb_near_dups, None)

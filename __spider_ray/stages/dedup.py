@@ -1,0 +1,215 @@
+"""Deduplication suite — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline dedup over the ``documents`` corpus, built the
+way it scales to 100 TB:
+
+- **exact**: md5 fingerprint column (vectorized) → ``groupby(fp)`` →
+  min-doc_id winner.  One shuffle keyed by content hash.
+- **MinHash+LSH**: per-batch vectorized pipeline shingle→minhash
+  (multiply-shift permutations, ``np.minimum.reduceat``) → explode to
+  (band_id, band_hash, doc_id) rows → ``groupby(band)`` emits candidate
+  pairs → signature-overlap verify.  The all-to-all moves one row per
+  (doc, band) — 16 rows/doc — not the text.
+- **SimHash**: 64-bit signature via bit-count accumulation
+  (``np.add.reduceat`` over unpacked bits); pigeonhole banding into 4×16
+  bit chunks finds all pairs with hamming ≤ 3 without pairwise scans.
+- **n-gram Jaccard**: exact verification on candidate pairs only
+  (broadcast shingle sets of the candidate docs — the candidate set is
+  orders of magnitude smaller than the corpus).
+
+References: Broder, "On the resemblance and containment of documents"
+(1997); Charikar, "Similarity estimation techniques from rounding
+algorithms" (STOC 2002); Leskovec et al., *Mining of Massive
+Datasets* ch.3 (public).  Implemented from scratch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import hash64, hash64_ints
+
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS           # 4
+SHINGLE_W = 3
+
+_rng = np.random.RandomState(42)
+_PERM_A = (_rng.randint(1, 1 << 62, size=N_PERM).astype(np.uint64) << np.uint64(1)) \
+          | np.uint64(1)                    # odd multipliers (multiply-shift)
+
+
+def _shingle_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """All word-SHINGLE_W-gram hashes, flattened, plus per-doc counts.
+
+    Tokenize once per doc (inherent), hash shingles vectorized."""
+    all_shingles: list[str] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, txt in enumerate(texts):
+        toks = txt.split(" ")
+        if len(toks) < SHINGLE_W:
+            sh = [" ".join(toks)]
+        else:
+            sh = [" ".join(toks[j:j + SHINGLE_W])
+                  for j in range(len(toks) - SHINGLE_W + 1)]
+        all_shingles.extend(sh)
+        counts[i] = len(sh)
+    h = hash64(pa.array(all_shingles, type=pa.string()))
+    return h, counts
+
+
+def minhash_batch(t: pa.Table) -> pa.Table:
+    """documents batch → (doc_id, sig list<uint64>[N_PERM], n_shingles)."""
+    texts = t["text"].to_pylist()
+    doc_ids = t["doc_id"].cast(pa.int64())
+    h, counts = _shingle_hashes(texts)
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    with np.errstate(over="ignore"):
+        permed = _PERM_A[:, None] * h[None, :]          # (P, N) multiply-shift
+    sigs = np.empty((len(texts), N_PERM), dtype=np.uint64)
+    for p in range(N_PERM):                              # P=64 vector passes
+        sigs[:, p] = np.minimum.reduceat(permed[p], starts)
+    sig_list = pa.FixedSizeListArray.from_arrays(
+        pa.array(sigs.reshape(-1).astype(np.int64)), N_PERM)
+    return pa.table({"doc_id": doc_ids, "sig": sig_list,
+                     "n_shingles": pa.array(counts)})
+
+
+def bands_batch(t: pa.Table) -> pa.Table:
+    """signatures → exploded (band_id, band_hash, doc_id) rows."""
+    n = t.num_rows
+    sigs = np.asarray(t["sig"].combine_chunks().flatten()).reshape(n, N_PERM) \
+             .astype(np.uint64)
+    bands = sigs.reshape(n, N_BANDS, ROWS_PER_BAND)
+    bh = np.zeros((n, N_BANDS), dtype=np.uint64)
+    for r in range(ROWS_PER_BAND):                       # chain-hash the band rows
+        bh = hash64_ints(bh ^ bands[:, :, r], seed=r + 11)
+    return pa.table({
+        "band_id": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
+        "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+        "doc_id": pa.array(np.repeat(t["doc_id"].to_numpy(), N_BANDS)),
+    })
+
+
+def pairs_from_bucket(g: pa.Table) -> pa.Table:
+    """One LSH bucket → all unordered candidate pairs (a < b)."""
+    ids = np.unique(g["doc_id"].to_numpy())
+    if len(ids) < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    ai, bi = np.triu_indices(len(ids), k=1)
+    return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+
+
+def minhash_candidates(docs: ray.data.Dataset) -> tuple[ray.data.Dataset,
+                                                        ray.data.Dataset]:
+    """(signatures, distinct candidate pairs) for a documents dataset."""
+    sigs = docs.map_batches(minhash_batch, batch_format="pyarrow")
+    pairs = (sigs.map_batches(bands_batch, batch_format="pyarrow")
+                 .groupby(["band_id", "band_hash"])
+                 .map_groups(pairs_from_bucket, batch_format="pyarrow")
+                 .groupby(["a", "b"])
+                 .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+    return sigs, pairs
+
+
+def verify_pairs_with_sigs(pairs: pa.Table, sig_map: dict[int, np.ndarray],
+                           threshold: float) -> pa.Table:
+    """Signature-overlap Jaccard estimate per pair; keep ≥ threshold.
+    ``sig_map`` is a broadcast dict (candidate docs only)."""
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    keep = np.zeros(len(a), dtype=bool)
+    est = np.zeros(len(a))
+    for i in range(len(a)):                   # pairs ≪ corpus; bounded loop
+        sa, sb = sig_map.get(int(a[i])), sig_map.get(int(b[i]))
+        if sa is None or sb is None:
+            continue
+        est[i] = float((sa == sb).mean())
+        keep[i] = est[i] >= threshold
+    out = pa.table({"a": pairs["a"], "b": pairs["b"],
+                    "est_jaccard_pct": pa.array((est * 100).round().astype(np.int64))})
+    return out.filter(pa.array(keep))
+
+
+def exact_jaccard_pair(text_a: str, text_b: str) -> tuple[int, int]:
+    """(intersection, union) of word-SHINGLE_W-gram sets — integers, so
+    thresholding is exact."""
+    def sh(t: str) -> set[str]:
+        toks = t.split(" ")
+        if len(toks) < SHINGLE_W:
+            return {" ".join(toks)}
+        return {" ".join(toks[j:j + SHINGLE_W])
+                for j in range(len(toks) - SHINGLE_W + 1)}
+    A, B = sh(text_a), sh(text_b)
+    return len(A & B), len(A | B)
+
+
+# ------------------------------------------------------------------ SimHash
+def simhash_batch(t: pa.Table) -> pa.Table:
+    """documents batch → (doc_id, simhash int64): sign-accumulated
+    64-bit token-hash bits (Charikar 2002)."""
+    texts = t["text"].to_pylist()
+    tok_lists = [txt.split(" ") for txt in texts]
+    counts = np.array([len(x) for x in tok_lists], dtype=np.int64)
+    flat = [w for toks in tok_lists for w in toks]
+    h = hash64(pa.array(flat, type=pa.string()))
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little").astype(np.int32)   # (N, 64) 0/1
+    contrib = bits * 2 - 1
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    sums = np.add.reduceat(contrib, starts, axis=0)            # (docs, 64)
+    sig_bits = (sums > 0).astype(np.uint8)
+    sig = np.packbits(sig_bits, axis=1, bitorder="little").view(np.uint64).reshape(-1)
+    return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                     "simhash": pa.array(sig.astype(np.int64))})
+
+
+def simhash_bands_batch(t: pa.Table) -> pa.Table:
+    """4×16-bit pigeonhole chunks: any pair with hamming ≤ 3 shares ≥1
+    chunk value."""
+    sig = t["simhash"].to_numpy().astype(np.uint64)
+    n = len(sig)
+    chunks = np.empty((n, 4), dtype=np.uint64)
+    for c in range(4):
+        chunks[:, c] = (sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+    return pa.table({
+        "chunk_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+        "chunk_val": pa.array(chunks.reshape(-1).astype(np.int64)),
+        "doc_id": pa.array(np.repeat(t["doc_id"].to_numpy(), 4)),
+        "simhash": pa.array(np.repeat(sig.astype(np.int64), 4)),
+    })
+
+
+def simhash_pairs_from_bucket(g: pa.Table) -> pa.Table:
+    ids = g["doc_id"].to_numpy()
+    sigs = g["simhash"].to_numpy().astype(np.uint64)
+    order = np.argsort(ids)
+    ids, sigs = ids[order], sigs[order]
+    uniq, first = np.unique(ids, return_index=True)
+    ids, sigs = uniq, sigs[first]
+    if len(ids) < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    ai, bi = np.triu_indices(len(ids), k=1)
+    x = sigs[ai] ^ sigs[bi]
+    ham = np.zeros(len(x), dtype=np.int64)
+    for s in range(64):                         # popcount via shifts (vector)
+        ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+    return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi]),
+                     "hamming": pa.array(ham)})
+
+
+def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Dataset:
+    sigs = docs.map_batches(simhash_batch, batch_format="pyarrow")
+    pairs = (sigs.map_batches(simhash_bands_batch, batch_format="pyarrow")
+                 .groupby(["chunk_id", "chunk_val"])
+                 .map_groups(simhash_pairs_from_bucket, batch_format="pyarrow"))
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pa.compute.less_equal(t["hamming"], max_hamming)),
+        batch_format="pyarrow")
+    return (pairs.groupby(["a", "b"])
+                 .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))

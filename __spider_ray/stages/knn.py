@@ -1,0 +1,216 @@
+"""Similarity search over the ``embeddings`` table.
+
+- **Brute-force cosine top-k** (the baseline): the query matrix is
+  normalized once on the driver and broadcast via ``ray.put``; each
+  batch does ONE float64 matmul against it and emits its local top-k
+  per query; a final tiny ``groupby(query_id)`` merges local top-ks.
+  The all-to-all moves k rows per (query, batch) — never the vectors.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
+  (Charikar 2002) assign vectors to 2^R buckets; queries search only
+  their own bucket ± multiprobe neighbors (1-bit flips).  Recall is
+  traded for touching ~(probes/2^R) of the corpus.
+- **Embedding near-dup**: all pairs with cosine ≥ threshold among
+  LSH-bucket colliders — same banding idea as MinHash dedup.
+
+float64 everywhere (inputs are float32 lists; cast on load) so scores
+are stable across batch sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+R_BITS = 6        # 64 LSH buckets
+_rng = np.random.RandomState(7)
+
+
+def _embs(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t["vec_id"].to_numpy()
+    flat = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
+    dim = len(flat) // max(1, len(ids))
+    return ids, flat.reshape(len(ids), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """First n vec_ids are the query set (deterministic)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids, m = _embs(t)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    return ids[:n_queries], _normalize(m[:n_queries])
+
+
+class BruteForceTopK:
+    """Actor-pool stage: query matrix loaded once per actor from the
+    broadcast ref (``ray.put`` on the driver), matmul per batch."""
+
+    def __init__(self, queries_ref, k: int):
+        self.q_ids, self.Q = ray.get(queries_ref)     # once per actor
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, m = _embs(t)
+        scores = _normalize(m) @ self.Q.T              # (batch, nq) one matmul
+        k = min(self.k + 1, len(ids))                  # +1: self-match removed later
+        top = np.argpartition(-scores, kth=k - 1, axis=0)[:k]   # (k, nq)
+        out_q = np.tile(self.q_ids, k)
+        out_v = ids[top].reshape(-1)
+        out_s = np.take_along_axis(scores, top, axis=0).reshape(-1)
+        return pa.table({
+            "query_id": pa.array(out_q.astype(np.int64)),
+            "vec_id": pa.array(out_v.astype(np.int64)),
+            "score": pa.array(out_s),
+        })
+
+
+def _merge_topk(k: int):
+    def merge(g: pa.Table) -> pa.Table:
+        q = g["query_id"].to_numpy()
+        v = g["vec_id"].to_numpy()
+        s = g["score"].to_numpy()
+        mask = v != q                                   # drop self-match
+        v, s = v[mask], s[mask]
+        order = np.lexsort((v, -s))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), q[0], dtype=np.int64)),
+            "vec_id": pa.array(v[order].astype(np.int64)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        })
+    return merge
+
+
+def brute_force_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
+                     concurrency: int = 2) -> ray.data.Dataset:
+    """(query_id, vec_id, rank) — rank by cosine desc, tie vec_id asc."""
+    queries_ref = ray.put(load_queries(sf_dir, n_queries))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    local = ds.map_batches(BruteForceTopK,
+                           fn_constructor_kwargs={"queries_ref": queries_ref,
+                                                  "k": k},
+                           batch_format="pyarrow", batch_size=4096,
+                           concurrency=concurrency, num_cpus=0.5)
+    return local.groupby("query_id").map_groups(_merge_topk(k),
+                                                batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ LSH ANN
+def _planes(dim: int) -> np.ndarray:
+    return _rng.normal(size=(R_BITS, dim))
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0                           # (n, R)
+    return (bits @ (1 << np.arange(R_BITS))).astype(np.int64)
+
+
+def lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
+             probe_hamming: int = 2) -> ray.data.Dataset:
+    """ANN flavor: multiprobe LSH — search every bucket within
+    ``probe_hamming`` bit flips of the query's bucket (radius 2 over 6
+    bits = 22/64 buckets ≈ 1/3 of the corpus).  Approximate by design —
+    recall vs ``brute_force_topk`` is asserted in tests."""
+    q_ids, Q = load_queries(sf_dir, n_queries)
+    dim = Q.shape[1]
+    planes = _planes(dim)
+    qb = _bucket_of(Q, planes)
+    from itertools import combinations
+    probe_sets = []
+    for b in qb:
+        probes = {int(b)}
+        for r in range(1, probe_hamming + 1):
+            for flips in combinations(range(R_BITS), r):
+                x = int(b)
+                for f in flips:
+                    x ^= 1 << f
+                probes.add(x)
+        probe_sets.append(probes)
+    wanted: set[int] = set().union(*probe_sets) if probe_sets else set()
+    ref = ray.put((q_ids, Q, probe_sets, planes, sorted(wanted)))
+
+    class BucketScorer:
+        def __init__(self):
+            self.q_ids, self.Q, self.probe_sets, self.planes, wl = ray.get(ref)
+            self.wanted = np.array(wl, dtype=np.int64)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, m = _embs(t)
+            mn = _normalize(m)
+            buckets = _bucket_of(mn, self.planes)
+            keep = np.isin(buckets, self.wanted)
+            ids, mn, buckets = ids[keep], mn[keep], buckets[keep]
+            if not len(ids):
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            scores = mn @ self.Q.T
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self.q_ids)):
+                in_probe = np.isin(buckets,
+                                   np.array(sorted(self.probe_sets[qi])))
+                cand = np.nonzero(in_probe)[0]
+                if not len(cand):
+                    continue
+                kk = min(k + 1, len(cand))
+                top = cand[np.argpartition(-scores[cand, qi], kth=kk - 1)[:kk]]
+                out_q.extend([self.q_ids[qi]] * len(top))
+                out_v.extend(ids[top])
+                out_s.extend(scores[top, qi])
+            return pa.table({"query_id": pa.array(np.array(out_q, np.int64)),
+                             "vec_id": pa.array(np.array(out_v, np.int64)),
+                             "score": pa.array(np.array(out_s, np.float64))})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    local = ds.map_batches(BucketScorer, batch_format="pyarrow",
+                           batch_size=4096, concurrency=2, num_cpus=0.5)
+    return local.groupby("query_id").map_groups(_merge_topk(k),
+                                                batch_format="pyarrow")
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.99) -> ray.data.Dataset:
+    """Near-duplicate vector pairs: LSH-bucket colliders verified by
+    exact cosine (pairs within buckets only)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ids, m = _embs(t)
+        mn = _normalize(m)
+        planes = _planes(m.shape[1])
+        b = _bucket_of(mn, planes)
+        emb = t["embedding"]
+        return pa.table({"bucket": pa.array(b), "vec_id": t["vec_id"],
+                         "embedding": emb})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids, m = _embs(g.select(["vec_id", "embedding"]))
+        order = np.argsort(ids)
+        ids, m = ids[order], _normalize(m[order])
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cos_bp": pa.array([], pa.int64())})
+        s = m @ m.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        cos = s[ai, bi]
+        keep = cos >= threshold
+        return pa.table({"a": pa.array(ids[ai][keep].astype(np.int64)),
+                         "b": pa.array(ids[bi][keep].astype(np.int64)),
+                         "cos_bp": pa.array(np.round(cos[keep] * 10000)
+                                            .astype(np.int64))})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(bucket_pairs, batch_format="pyarrow"))

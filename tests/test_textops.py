@@ -1,0 +1,98 @@
+"""Accuracy tests for the non-SQL-checkable ops: MinHash/SimHash dedup
+vs brute-force Jaccard, LSH ANN recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from conftest import SF_SMALL
+
+from __spider_ray.pipelines import textops
+from __spider_ray.stages import dedup as dd
+
+
+def _corpus_texts():
+    t = pq.read_table(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    corpus = {int(i): s for i, s in zip(ids, texts)}
+    for i, s in zip(ids, texts):
+        if i % 5 == 0:
+            corpus[int(i) + 100000] = s
+        if i % 7 == 0:
+            corpus[int(i) + 200000] = s + textops.NEAR_SUFFIX
+    return corpus
+
+
+def test_minhash_finds_planted_duplicates():
+    pairs = textops.q_dedup_minhash(SF_SMALL).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    corpus = _corpus_texts()
+    # every planted exact pair must be found (identical signatures)
+    for i in corpus:
+        if i < 100000 and i % 5 == 0:
+            assert (i, i + 100000) in got, f"exact dup pair {i} missed"
+    # planted near-dups (high Jaccard) should be found at high recall
+    near = [(i, i + 200000) for i in corpus if i < 100000 and i % 7 == 0]
+    found = sum((p in got) for p in near)
+    assert found / len(near) >= 0.9, (found, len(near))
+    # precision: every reported pair is genuinely similar
+    for a, b in list(got)[:300]:
+        inter, union = dd.exact_jaccard_pair(corpus[a], corpus[b])
+        assert inter / union >= 0.5, (a, b, inter / union)
+
+
+def test_minhash_estimate_close_to_true_jaccard():
+    corpus = _corpus_texts()
+    pairs = textops.q_dedup_minhash(SF_SMALL).to_pandas()
+    errs = []
+    for a, b, est in zip(pairs["a"], pairs["b"], pairs["est_jaccard_pct"]):
+        inter, union = dd.exact_jaccard_pair(corpus[int(a)], corpus[int(b)])
+        errs.append(abs(est / 100 - inter / union))
+    assert np.mean(errs) < 0.1, np.mean(errs)
+
+
+def test_simhash_finds_exact_duplicates():
+    pairs = textops.q_dedup_simhash(SF_SMALL).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    corpus = _corpus_texts()
+    for i in corpus:
+        if i < 100000 and i % 5 == 0:
+            assert (i, i + 100000) in got, f"exact dup {i} missed by simhash"
+    ham0 = pairs[pairs["hamming"] == 0]
+    assert len(ham0) >= len([i for i in corpus if i < 100000 and i % 5 == 0])
+
+
+def test_knn_brute_matches_numpy_oracle():
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist())
+    m = np.array([np.array(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    got = textops.q_knn_brute(SF_SMALL).to_pandas()
+    for q in ids[:10]:
+        scores = m @ m[list(ids).index(q)]
+        cand = [(s, v) for s, v in zip(scores, ids) if v != q]
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        want = [v for _s, v in cand[:5]]
+        sub = got[got["query_id"] == q].sort_values("rank")
+        assert list(sub["vec_id"]) == want, q
+
+
+def test_lsh_ann_recall():
+    brute = textops.q_knn_brute(SF_SMALL).to_pandas()
+    approx = textops.q_knn_lsh(SF_SMALL).to_pandas()
+    bset = {(int(q), int(v)) for q, v in zip(brute["query_id"], brute["vec_id"])}
+    aset = {(int(q), int(v)) for q, v in zip(approx["query_id"], approx["vec_id"])}
+    recall = len(bset & aset) / len(bset)
+    assert recall >= 0.4, recall        # multiprobe hamming<=2 over 64 buckets
+
+
+def test_exact_dedup_counts():
+    out = textops.q_dedup_exact(SF_SMALL).to_pandas()
+    corpus = _corpus_texts()
+    n_exact_dups = len([i for i in corpus if i < 100000 and i % 5 == 0])
+    assert len(out) == len(corpus) - n_exact_dups
+    assert (out[out["n_copies"] == 2]["doc_id"] % 5 == 0).all()
