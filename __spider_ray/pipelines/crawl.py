@@ -15,25 +15,47 @@ day_offset) (§2.6 O4).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..functions.hashing import hash64
 from ..stages import expand, fetch, parse, spans
 
+N_DEDUP_BUCKETS = 64    # per-bucket work is vectorized; buckets ≈ 2-4× cores
 
-def _first_by_crawl_order(group: pa.Table) -> pa.Table:
-    idx = pa.compute.sort_indices(
-        group, sort_keys=[("seed_index", "ascending"), ("day_offset", "ascending")])
-    return group.take(idx[:1])
+
+def _add_bucket(t: pa.Table, col: str, n_buckets: int = N_DEDUP_BUCKETS) -> pa.Table:
+    b = (hash64(t[col].combine_chunks()) % np.uint64(n_buckets)).astype(np.int64)
+    return t.append_column("bucket", pa.array(b))
+
+
+def _dedup_bucket(g: pa.Table) -> pa.Table:
+    """First-wins per URL inside one hash bucket — one numpy lexsort
+    over the whole bucket, no per-group Python."""
+    urls = np.asarray(g["url"].to_pylist(), dtype=object)
+    prio = g["priority"].to_numpy()
+    order = np.lexsort((prio, urls))
+    urls_s = urls[order]
+    first = np.empty(len(urls_s), dtype=bool)
+    if len(first):
+        first[0] = True
+        first[1:] = urls_s[1:] != urls_s[:-1]
+    return g.take(pa.array(order[first])).drop_columns(["bucket"])
 
 
 def dedup_frontier(ds: ray.data.Dataset) -> ray.data.Dataset:
     """URL-seen semi-join, dataset flavor: keep the first frontier row
-    per URL in crawl order.  This is the shuffle-based equivalent of the
-    cuckoo-filter actor path (state/url_seen.py) used by the streaming
-    epoch loop; correctness queries use this flavor because it is
-    exactly reproducible in SQL (row_number() over url)."""
-    return ds.groupby("url").map_groups(_first_by_crawl_order, batch_format="pyarrow")
+    per URL in crawl order (priority = seed_index*N_DAYS + day_offset).
+
+    Shuffle shape: hash-bucket by URL (N_DEDUP_BUCKETS keys) →
+    vectorized per-bucket first-wins.  Equivalent to the reference's
+    intended dupefilter semantics and exactly reproducible in SQL
+    (row_number() over url); the *streaming* scale path is the cuckoo
+    actor pool in state/url_seen.py (no shuffle at all)."""
+    return (ds.map_batches(lambda t: _add_bucket(t, "url"), batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(_dedup_bucket, batch_format="pyarrow"))
 
 
 def frontier(sf_dir: str, deduped: bool = True) -> ray.data.Dataset:
@@ -63,17 +85,16 @@ def exploded_spans(sf_dir: str) -> ray.data.Dataset:
     return documents(sf_dir).map_batches(spans.explode_spans, batch_format="pyarrow")
 
 
-def _first_url(group: pa.Table) -> pa.Table:
-    return group.take(pa.compute.sort_indices(
-        group, sort_keys=[("seed_index", "ascending"), ("day_offset", "ascending")])[:1])
-
-
 def detail_frontier(sf_dir: str) -> ray.data.Dataset:
-    """Depth-1 frontier: unique detail URLs discovered by parse."""
+    """Depth-1 frontier: unique detail URLs discovered by parse (same
+    hash-bucket vectorized dedup as the depth-0 frontier)."""
     from ..stages import detail
-    return (flight_records(sf_dir)
-            .map_batches(detail.expand_detail_links, batch_format="pyarrow")
-            .groupby("url").map_groups(_first_url, batch_format="pyarrow"))
+    links = flight_records(sf_dir).map_batches(detail.expand_detail_links,
+                                               batch_format="pyarrow")
+    return (links.map_batches(lambda t: _add_bucket(t, "url"),
+                              batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(_dedup_bucket, batch_format="pyarrow"))
 
 
 def detail_cabins(sf_dir: str) -> ray.data.Dataset:

@@ -158,10 +158,14 @@ def run_crawl(
             rec = ray.data.read_parquet(records_dir)
             docs_dir = os.path.join(out_dir, f"docs/epoch={epoch}")
             # re-read blocks don't preserve page contiguity → assemble
-            # docs with an explicit doc_id shuffle (SURVEY.md §7.3)
-            rec.groupby("doc_id").map_groups(
-                spans.doc_from_group, batch_format="pyarrow"
-            ).write_parquet(docs_dir)
+            # docs with an explicit doc_id-hash-bucket shuffle
+            # (SURVEY.md §7.3); per-bucket assembly is fully vectorized
+            from .crawl import _add_bucket
+            (rec.map_batches(lambda t: _add_bucket(t, "doc_id"),
+                             batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(spans.docs_from_bucket, batch_format="pyarrow")
+                .write_parquet(docs_dir))
             next_dir = os.path.join(out_dir, "frontier/epoch=1")
             rec.map_batches(detail.expand_detail_links,
                             batch_format="pyarrow").write_parquet(next_dir)

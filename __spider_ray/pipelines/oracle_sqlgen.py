@@ -64,7 +64,8 @@ frontier_all AS (
     lower(s.to_city_code) || '.flights.test' AS host,
     'https://' || lower(s.to_city_code) || '.flights.test/flightlist/'
       || s.from_city_code || '-' || s.to_city_code || '/'
-      || strftime(DATE '{synth.BASE_DATE_STR}' + CAST(d.day_offset AS INTEGER), '%Y-%m-%d') AS url,
+      || strftime(DATE '{synth.BASE_DATE_STR}' + CAST(d.day_offset AS INTEGER), '%Y-%m-%d')
+      || '?v=' || CAST(CASE WHEN s.seed_id % 5 = 0 THEN 0 ELSE s.seed_id END AS VARCHAR) AS url,
     s.from_city_name, s.from_city_code, s.to_city_name, s.to_city_code
   FROM seeds s CROSS JOIN (SELECT range AS day_offset FROM range({synth.N_DAYS})) d
 ),

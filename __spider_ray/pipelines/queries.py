@@ -99,28 +99,42 @@ def _crawl_od_counts(sf_dir: str):
 
 def _crawl_min_price(sf_dir: str):
     """A4/O1 — grouped argmin: cheapest flight per (OD, date)
-    (ylSpider06.py:536-541 sort-asc-take-first semantics)."""
+    (ylSpider06.py:536-541 sort-asc-take-first semantics).
+
+    Shuffle shape: composite key → hash bucket → vectorized per-bucket
+    lexsort argmin (no per-group Python)."""
+    import numpy as np
+    from ..functions.hashing import hash64
     ds = crawl.flight_records(sf_dir)
 
-    def add_price_int(t: pa.Table) -> pa.Table:
-        return t.append_column("price_int", t["price"].cast(pa.int64()))
+    def prep(t: pa.Table) -> pa.Table:
+        key = pa.compute.binary_join_element_wise(
+            t["from_city_code"], t["to_city_code"], t["off_date"], "\x1f")
+        b = (hash64(key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key)
+             % np.uint64(64)).astype(np.int64)
+        return pa.table({
+            "key": key, "bucket": pa.array(b),
+            "from_city_code": t["from_city_code"],
+            "to_city_code": t["to_city_code"],
+            "off_date": t["off_date"], "plane_no": t["plane_no"],
+            "min_price": t["price"].cast(pa.int64()),
+        })
 
-    def argmin(g: pa.Table) -> pa.Table:
-        idx = pa.compute.sort_indices(
-            g, sort_keys=[("price_int", "ascending"), ("plane_no", "ascending")])
-        row = g.take(idx[:1])
-        return pa.table(
-            {
-                "from_city_code": row["from_city_code"],
-                "to_city_code": row["to_city_code"],
-                "off_date": row["off_date"],
-                "plane_no": row["plane_no"],
-                "min_price": row["price_int"],
-            }
-        )
-    return (ds.map_batches(add_price_int, batch_format="pyarrow")
-              .groupby(["from_city_code", "to_city_code", "off_date"])
-              .map_groups(argmin, batch_format="pyarrow"))
+    def argmin_bucket(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g["key"].to_pylist(), dtype=object)
+        price = g["min_price"].to_numpy()
+        plane = np.asarray(g["plane_no"].to_pylist(), dtype=object)
+        order = np.lexsort((plane, price, keys))
+        ks = keys[order]
+        first = np.empty(len(ks), dtype=bool)
+        if len(first):
+            first[0] = True
+            first[1:] = ks[1:] != ks[:-1]
+        return g.take(pa.array(order[first])).drop_columns(["key", "bucket"])
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(argmin_bucket, batch_format="pyarrow"))
 
 
 def _crawl_dead_letter(sf_dir: str):

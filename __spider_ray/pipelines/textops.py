@@ -134,15 +134,31 @@ SELECT doc_id, md5(lower(text)) AS fp FROM corpus
 
 # -------------------------------------------------------------------- dedup
 def q_dedup_exact(sf_dir: str):
-    """A5/S9: exact dedup — groupby(content-hash) keep min doc_id."""
+    """A5/S9: exact dedup — hash-bucket by content fingerprint, then a
+    vectorized per-bucket min-doc_id + copy count (one lexsort per
+    bucket, no per-group Python)."""
+    from ..functions.hashing import hash64
     ds = corpus(sf_dir).map_batches(tx.fingerprint_batch, batch_format="pyarrow")
 
-    def first(g: pa.Table) -> pa.Table:
-        ids = np.sort(g["doc_id"].to_numpy())
-        return pa.table({"fp": g["fp"].slice(0, 1),
-                         "doc_id": pa.array(ids[:1]),
-                         "n_copies": pa.array([len(ids)], pa.int64())})
-    return ds.groupby("fp").map_groups(first, batch_format="pyarrow")
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64(t["fp"].combine_chunks()) % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def first_per_fp(g: pa.Table) -> pa.Table:
+        fps = np.asarray(g["fp"].to_pylist(), dtype=object)
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, fps))
+        fs, is_ = fps[order], ids[order]
+        first = np.empty(len(fs), dtype=bool)
+        first[0] = True
+        first[1:] = fs[1:] != fs[:-1]
+        counts = np.diff(np.append(np.nonzero(first)[0], len(fs)))
+        return pa.table({"fp": pa.array(fs[first]),
+                         "doc_id": pa.array(is_[first]),
+                         "n_copies": pa.array(counts.astype(np.int64))})
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(first_per_fp, batch_format="pyarrow"))
 
 
 SQL_DEDUP_EXACT = f"""WITH {CORPUS_CTE.strip()}

@@ -103,16 +103,42 @@ def pairs_from_bucket(g: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
 
 
+def _distinct_pairs(pairs: ray.data.Dataset,
+                    extra_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
+    """Distinct (a,b) rows via hash-bucket + per-bucket np.unique —
+    no per-pair Python groups."""
+    def bucketize(t: pa.Table) -> pa.Table:
+        key = hash64_ints(t["a"].to_numpy().astype(np.uint64) * np.uint64(1_000_003)
+                          ^ t["b"].to_numpy().astype(np.uint64))
+        return t.append_column("bucket",
+                               pa.array((key % np.uint64(64)).astype(np.int64)))
+
+    def uniq(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.empty(len(a), dtype=bool)
+        if len(first):
+            first[0] = True
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        out = {"a": pa.array(a[first]), "b": pa.array(b[first])}
+        for c in extra_cols:
+            out[c] = pa.array(g[c].to_numpy()[order][first])
+        return pa.table(out)
+
+    return (pairs.map_batches(bucketize, batch_format="pyarrow")
+                 .groupby("bucket").map_groups(uniq, batch_format="pyarrow"))
+
+
 def minhash_candidates(docs: ray.data.Dataset) -> tuple[ray.data.Dataset,
                                                         ray.data.Dataset]:
     """(signatures, distinct candidate pairs) for a documents dataset."""
     sigs = docs.map_batches(minhash_batch, batch_format="pyarrow")
-    pairs = (sigs.map_batches(bands_batch, batch_format="pyarrow")
-                 .groupby(["band_id", "band_hash"])
-                 .map_groups(pairs_from_bucket, batch_format="pyarrow")
-                 .groupby(["a", "b"])
-                 .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
-    return sigs, pairs
+    raw = (sigs.map_batches(bands_batch, batch_format="pyarrow")
+               .groupby(["band_id", "band_hash"])
+               .map_groups(pairs_from_bucket, batch_format="pyarrow"))
+    return sigs, _distinct_pairs(raw)
 
 
 def verify_pairs_with_sigs(pairs: pa.Table, sig_map: dict[int, np.ndarray],
@@ -211,5 +237,4 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.
     pairs = pairs.map_batches(
         lambda t: t.filter(pa.compute.less_equal(t["hamming"], max_hamming)),
         batch_format="pyarrow")
-    return (pairs.groupby(["a", "b"])
-                 .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+    return _distinct_pairs(pairs, extra_cols=("hamming",))

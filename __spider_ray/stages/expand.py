@@ -102,10 +102,11 @@ def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS) -> pa.Table:
     days = np.tile(np.arange(n_days, dtype=np.int32), n)
     rep = batch.take(pa.array(idx))
     day_str = pa.array(synth.day_strs(days), type=pa.string())
+    seed_index = rep["seed_id"].cast(pa.int64())
     urls, hosts = synth.build_urls(rep["from_city_code"].combine_chunks(),
                                    rep["to_city_code"].combine_chunks(),
-                                   day_str)
-    seed_index = rep["seed_id"].cast(pa.int64())
+                                   day_str,
+                                   synth.url_variant(seed_index.to_numpy()))
     ua_idx = (hash64(urls, seed=7) % np.uint64(len(synth.USER_AGENTS))).astype(np.int64)
     ua = pc.take(pa.array(synth.USER_AGENTS, type=pa.string()), pa.array(ua_idx))
     meta = pa.StructArray.from_arrays(

@@ -94,6 +94,18 @@ def doc_from_group(group: pa.Table) -> pa.Table:
     return records_to_docs(group.take(idx))
 
 
+def docs_from_bucket(group: pa.Table) -> pa.Table:
+    """Hash-bucket flavor: the group holds MANY docs (all records whose
+    doc_id hashes to this bucket).  One sort by (doc_id, flight_idx)
+    restores contiguity, then the vectorized assembler handles the
+    whole bucket in one pass — no per-doc Python."""
+    if "bucket" in group.column_names:
+        group = group.drop_columns(["bucket"])
+    idx = pa.compute.sort_indices(
+        group, sort_keys=[("doc_id", "ascending"), ("flight_idx", "ascending")])
+    return records_to_docs(group.take(idx))
+
+
 def explode_spans(batch: pa.Table) -> pa.Table:
     """documents batch → one row per span (flat, SQL-hashable):
     (doc_id, offset, kind, text, media_ref)."""

@@ -211,8 +211,18 @@ def day_strs(day_offsets: np.ndarray) -> np.ndarray:
     return (base + day_offsets.astype("timedelta64[D]")).astype("datetime64[D]").astype(str)
 
 
-def build_urls(from_codes: pa.Array, to_codes: pa.Array, days: pa.Array):
-    """url = https://{lower(to_code)}.flights.test/flightlist/{from}-{to}/{date}
+def url_variant(seed_id: np.ndarray) -> np.ndarray:
+    """Per-seed URL variant: every 5th seed collapses to the shared
+    ``v=0`` URL (duplicate pressure for the seen-filter + hot pages);
+    the rest get a unique per-seed variant, so the URL space grows
+    linearly with the seed list (web-scale shape).
+    SQL: ``CASE WHEN seed_id % 5 = 0 THEN 0 ELSE seed_id END``."""
+    return np.where(seed_id % 5 == 0, 0, seed_id)
+
+
+def build_urls(from_codes: pa.Array, to_codes: pa.Array, days: pa.Array,
+               variants: np.ndarray):
+    """url = https://{lower(to)}.flights.test/flightlist/{from}-{to}/{date}?v={v}
 
     Host embeds the destination code → all URLs of one destination meet
     one politeness bucket; 北京(BJS) is the deliberate hot host.
@@ -220,7 +230,8 @@ def build_urls(from_codes: pa.Array, to_codes: pa.Array, days: pa.Array):
     import pyarrow.compute as pc
     host = pc.binary_join_element_wise(
         pc.utf8_lower(to_codes.cast(pa.string())), pa.scalar(".flights.test"), "")
+    v = pa.array(variants.astype(str), type=pa.string())
     return pc.binary_join_element_wise(
         pa.scalar("https://"), host, pa.scalar("/flightlist/"),
         from_codes.cast(pa.string()), pa.scalar("-"), to_codes.cast(pa.string()),
-        pa.scalar("/"), days.cast(pa.string()), ""), host
+        pa.scalar("/"), days.cast(pa.string()), pa.scalar("?v="), v, ""), host

@@ -36,42 +36,65 @@ def run_bench() -> dict:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from __spider_ray.pipelines import crawl
+    import ray.data as rd
 
-    out_dir = "/tmp/bench_out/docs"
+    from __spider_ray.pipelines import crawl, epoch, textops
+
     shutil.rmtree("/tmp/bench_out", ignore_errors=True)
 
     # warm the page cache so we measure compute+shuffle, not first disk read
     crawl.frontier(SF_DIR).count()
 
     queries: dict[str, float] = {}
+    t_all = time.perf_counter()
 
+    # ---- headline: the full stateful engine (epoch loop, both depths)
     t0 = time.perf_counter()
-    fr = crawl.frontier(SF_DIR)
-    n_urls = fr.count()
-    queries["frontier"] = time.perf_counter() - t0
+    res = epoch.run_crawl(SF_DIR, "/tmp/bench_out/crawl", resume=False)
+    queries["crawl_engine"] = time.perf_counter() - t0
+    n_records = res["totals"]["records"]
+    n_docs = res["totals"]["docs"]
+    n_fares = res["totals"]["fares"]
+    n_urls = sum(s["count"] for s in res["seen"])      # depth-0 + depth-1 fetched
 
     t1 = time.perf_counter()
-    docs = crawl.documents(SF_DIR)
-    docs.write_parquet(out_dir)
-    queries["fetch_parse_write"] = time.perf_counter() - t1
+    n_spans = (rd.read_parquet("/tmp/bench_out/crawl/docs")
+                 .map_batches(__import__("__spider_ray.stages.spans",
+                                         fromlist=["explode_spans"]).explode_spans,
+                              batch_format="pyarrow").count())
+    queries["span_explode"] = time.perf_counter() - t1
 
+    # ---- component benchmarks
     t2 = time.perf_counter()
-    n_spans = crawl.exploded_spans(SF_DIR).count()
-    queries["span_count"] = time.perf_counter() - t2
+    textops.q_dedup_minhash(SF_DIR).to_pandas()
+    queries["dedup_minhash"] = time.perf_counter() - t2
 
-    total = time.perf_counter() - t0
+    t3 = time.perf_counter()
+    textops.q_knn_brute(SF_DIR).to_pandas()
+    queries["knn_brute"] = time.perf_counter() - t3
+
+    t4 = time.perf_counter()
+    from __spider_ray.pipelines import relational
+    relational.q_pricing_summary(SF_DIR).to_pandas()
+    queries["rel_pricing"] = time.perf_counter() - t4
+
+    total = time.perf_counter() - t_all
+    crawl_sec = queries["crawl_engine"]
     result = {
-        "metric": "crawl fetch+parse pipeline wall time (sf frontier, dedup, fetch, parse, span docs)",
-        "value": round(total, 3),
+        "metric": "crawl engine wall time (frontier→seen-filter→fetch→parse→docs→detail fares, 2 epochs, checkpointed)",
+        "value": round(crawl_sec, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "urls": n_urls,
+        "records": n_records,
+        "docs": n_docs,
+        "fares": n_fares,
         "spans": n_spans,
-        "urls_per_sec": round(n_urls / queries["fetch_parse_write"], 1),
-        "spans_per_sec": round(n_spans / queries["fetch_parse_write"], 1),
+        "total_sec": round(total, 3),
+        "urls_per_sec": round(n_urls / crawl_sec, 1),
+        "spans_per_sec": round(n_spans / crawl_sec, 1),
     }
     ray.shutdown()
     return result
@@ -84,8 +107,8 @@ def run_scaling() -> dict:
                              env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
     lo, hi = run(8), run(32)
-    rate_lo = lo["urls"] / lo["queries"]["fetch_parse_write"]
-    rate_hi = hi["urls"] / hi["queries"]["fetch_parse_write"]
+    rate_lo = lo["urls"] / lo["queries"]["crawl_engine"]
+    rate_hi = hi["urls"] / hi["queries"]["crawl_engine"]
     eff = (rate_hi / rate_lo) / (32 / 8)
     return {
         "metric": "scaling efficiency (urls/sec, 8 vs 32 cpus)",

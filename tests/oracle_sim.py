@@ -52,10 +52,11 @@ def simulate(sf_dir: str, n_days: int = synth.N_DAYS):
         t_code = "BJS" if t_name == "北京" else t_code
         f_name = "重庆" if f_name == "武隆" else f_name
         t_name = "重庆" if t_name == "武隆" else t_name
+        v = 0 if ck % 5 == 0 else ck
         for d in range(n_days):
             day = synth.day_str(d)
             url = (f"https://{t_code.lower()}.flights.test/flightlist/"
-                   f"{f_code}-{t_code}/{day}")
+                   f"{f_code}-{t_code}/{day}?v={v}")
             if url in seen:
                 continue
             seen.add(url)
