@@ -77,18 +77,43 @@ def _robots_filter(batch: pa.Table, policy: HostPolicyClient) -> pa.Table:
     return batch.filter(pa.array(mask))
 
 
+def _detail_fetch(batch: pa.Table, policy: HostPolicyClient | None) -> pa.Table:
+    if batch.num_rows and policy is not None:
+        policy.acquire_for_batch(batch["host"])
+    return detail.fetch_detail_batch(batch)
+
+
+def _side_write(records: pa.Table, docs_dir: str, links_dir: str) -> pa.Table:
+    """Single-pass tee: derive span docs + detail links from a parse
+    output batch and write them as parquet parts RIGHT HERE, then pass
+    the records through to the main write_parquet sink.  Page rows are
+    contiguous in parse output, so doc assembly needs no shuffle at all.
+    Part filenames derive from the batch's first doc_id → a retried
+    task overwrites its own file (idempotent), never duplicates."""
+    import pyarrow.parquet as pq
+    if records.num_rows == 0:
+        return records
+    stem = records["doc_id"][0].as_py()
+    docs = spans.records_to_docs(records)
+    pq.write_table(docs, os.path.join(docs_dir, f"{stem}.parquet"))
+    links = detail.expand_detail_links(records)
+    pq.write_table(links, os.path.join(links_dir, f"{stem}.parquet"))
+    return records
+
+
 def run_crawl(
     sf_dir: str,
     out_dir: str,
     *,
     n_seen_shards: int = 4,
-    seen_buckets: int = 1 << 16,
+    seen_buckets: int = 1 << 20,
     delay_s: float = 0.0,
     burst: int = 6,
     fetch_concurrency: int | None = None,
     fetch_batch_size: int = 4096,
     resume: bool = True,
     max_depth: int = 1,
+    n_days: int | None = None,
 ) -> dict:
     """Run the full crawl; returns the final metrics dict.
 
@@ -109,7 +134,7 @@ def run_crawl(
     total_cpus = int(_ray.cluster_resources().get("CPU", 8))
     if fetch_concurrency is None:
         fetch_concurrency = max(1, total_cpus // 4)
-    seen_concurrency = max(1, fetch_concurrency // 2)
+    seen_concurrency = max(2, fetch_concurrency // 2)
 
     seen = UrlSeenSet(n_shards=n_seen_shards, n_buckets=seen_buckets)
     policy = HostPolicyClient(n_actors=2, delay_s=delay_s, burst=burst)
@@ -125,18 +150,31 @@ def run_crawl(
     if start_epoch > 0:
         totals.update(ckpt.read_marker(out_dir, start_epoch - 1).get("totals", totals))
 
+    import time as _time
+    _dbg = os.environ.get("GRAFT_DEBUG_TIMING")
+
+    def _t(label: str, t0: float) -> float:
+        if _dbg:
+            print(f"[epoch-timing] {label}: {_time.perf_counter() - t0:.2f}s",
+                  flush=True)
+        return _time.perf_counter()
+
     for epoch in range(start_epoch, max_depth + 1):
         if epoch == 0:
-            frontier = expand.frontier_dataset(sf_dir)
+            from .. import synth
+            frontier = expand.frontier_dataset(sf_dir, n_days or synth.N_DAYS)
         else:
             fdir = os.path.join(out_dir, f"frontier/epoch={epoch}")
             if not os.path.exists(fdir):
                 break
-            frontier = ray.data.read_parquet(fdir)
+            from ..stages.expand import _default_blocks
+            frontier = ray.data.read_parquet(
+                fdir, override_num_blocks=_default_blocks())
 
-        # 1. priority shuffle  2. seen semi-join  3. robots mask
+        # 1. priority shuffle (numeric key: host-hash high bits ⊕
+        #    priority low bits)  2. seen semi-join  3. robots mask
         fresh = (
-            frontier.sort(["host", "priority"])
+            frontier.sort("sort_key")
             .map_batches(SeenFilterWorker, fn_constructor_kwargs={"seen": seen},
                          batch_format="pyarrow", batch_size=fetch_batch_size,
                          concurrency=seen_concurrency, num_cpus=0.25)
@@ -145,54 +183,53 @@ def run_crawl(
         )
 
         if epoch == 0:
+            t0 = _time.perf_counter()
             records_dir = os.path.join(out_dir, f"records/epoch={epoch}")
+            docs_dir = os.path.join(out_dir, f"docs/epoch={epoch}")
+            next_dir = os.path.join(out_dir, "frontier/epoch=1")
+            for d in (records_dir, docs_dir, next_dir):   # clear partial epoch
+                shutil.rmtree(d, ignore_errors=True)
+                os.makedirs(d, exist_ok=True)
+            # ONE streaming pass: fetch → parse → side-write docs+links
+            # → records sink.  No mid-pipeline materialize, no re-read.
             (
-                fresh.map_batches(fetch.FetchWorker,
-                                  fn_constructor_kwargs={"politeness": policy},
-                                  batch_format="pyarrow",
-                                  batch_size=fetch_batch_size,
-                                  concurrency=fetch_concurrency, num_cpus=0.5)
+                fresh.map_batches(
+                    lambda b: fetch.fetch_with_policy(b, policy),
+                    batch_format="pyarrow", batch_size=fetch_batch_size)
                 .map_batches(parse.parse_batch, batch_format="pyarrow")
+                .map_batches(lambda t: _side_write(t, docs_dir, next_dir),
+                             batch_format="pyarrow")
                 .write_parquet(records_dir)
             )
-            rec = ray.data.read_parquet(records_dir)
-            docs_dir = os.path.join(out_dir, f"docs/epoch={epoch}")
-            # re-read blocks don't preserve page contiguity → assemble
-            # docs with an explicit doc_id-hash-bucket shuffle
-            # (SURVEY.md §7.3); per-bucket assembly is fully vectorized
-            from .crawl import _add_bucket
-            (rec.map_batches(lambda t: _add_bucket(t, "doc_id"),
-                             batch_format="pyarrow")
-                .groupby("bucket")
-                .map_groups(spans.docs_from_bucket, batch_format="pyarrow")
-                .write_parquet(docs_dir))
-            next_dir = os.path.join(out_dir, "frontier/epoch=1")
-            rec.map_batches(detail.expand_detail_links,
-                            batch_format="pyarrow").write_parquet(next_dir)
-            n_rec = rec.count()
+            t0 = _t("e0 pass", t0)
+            n_rec = ray.data.read_parquet(records_dir).count()    # metadata-only
             n_docs = ray.data.read_parquet(docs_dir).count()
+            t0 = _t("e0 counts", t0)
             totals["records"] += n_rec
             totals["docs"] += n_docs
             metrics = {"records": n_rec, "docs": n_docs, "totals": totals}
         else:
+            t0 = _time.perf_counter()
             fares_dir = os.path.join(out_dir, f"fares/epoch={epoch}")
+            shutil.rmtree(fares_dir, ignore_errors=True)
             (
-                fresh.map_batches(fetch.DetailFetchWorker,
-                                  fn_constructor_kwargs={"politeness": policy},
-                                  batch_format="pyarrow",
-                                  batch_size=fetch_batch_size,
-                                  concurrency=fetch_concurrency, num_cpus=0.5)
+                fresh.map_batches(
+                    lambda b: _detail_fetch(b, policy),
+                    batch_format="pyarrow", batch_size=fetch_batch_size)
                 .map_batches(detail.parse_cabins_batch, batch_format="pyarrow")
                 .map_batches(detail.lowest_fare_batch, batch_format="pyarrow")
                 .write_parquet(fares_dir)
             )
+            t0 = _t("e1 pass", t0)
             n_fares = ray.data.read_parquet(fares_dir).count()
             totals["fares"] += n_fares
             metrics = {"fares": n_fares, "totals": totals}
 
+        t0 = _time.perf_counter()
         metrics["seen_stats"] = seen.stats()
         metrics["policy_stats"] = policy.stats()
         ckpt.commit_epoch(out_dir, epoch, metrics, seen.snapshot_all())
+        _t(f"e{epoch} commit", t0)
 
     return {"last_epoch": ckpt.last_complete_epoch(out_dir), "totals": totals,
             "seen": seen.stats(), "policy": policy.stats()}

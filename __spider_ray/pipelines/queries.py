@@ -161,6 +161,27 @@ def _crawl_lowest_fare(sf_dir: str):
     return crawl.lowest_fares(sf_dir)
 
 
+def _crawl_flights_enriched(sf_dir: str):
+    """J1 broadcast dim join: flight records with airport names filled
+    from the driver-side dim dict (stages/enrich.py)."""
+    from ..stages.enrich import airports_dim, enrich_airports
+    dim = airports_dim(sf_dir)
+    ds = crawl.flight_records(sf_dir)
+    ds = ds.map_batches(lambda t: enrich_airports(t, dim), batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "flight_idx": t["flight_idx"].cast(pa.int64()),
+            "plane_no": t["plane_no"],
+            "from_city_code": t["from_city_code"],
+            "from_city_airport": t["from_city_airport"],
+            "to_city_code": t["to_city_code"],
+            "to_city_airport": t["to_city_airport"],
+        })
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
 def _media_meta(sf_dir: str):
     """Multimodal plumbing: media spans → actor-pool decode (stubbed
     deterministic dims) → vectorized resize planning."""
@@ -236,6 +257,20 @@ SELECT doc_id, media_ref, width, height,
   CAST(floor(width * least(1.0, 512.0 / greatest(width, height))) AS BIGINT) AS target_w,
   CAST(floor(height * least(1.0, 512.0 / greatest(width, height))) AS BIGINT) AS target_h
 FROM media"""
+    enriched_sql = f"""{osql.CRAWL_FULL},
+apdim AS (
+  SELECT DISTINCT from_city_code AS ap_code,
+         from_city_name || '国际机场' AS airport FROM seeds
+  UNION
+  SELECT DISTINCT to_city_code, to_city_name || '国际机场' FROM seeds
+)
+SELECT r.doc_id, r.flight_idx, r.plane_no,
+  r.from_city_code, a1.airport AS from_city_airport,
+  r.to_city_code, a2.airport AS to_city_airport
+FROM records r
+JOIN apdim a1 ON r.from_city_code = a1.ap_code
+JOIN apdim a2 ON r.to_city_code = a2.ap_code"""
+    register("crawl_flights_enriched", _crawl_flights_enriched, enriched_sql)
     register("media_meta", _media_meta, media_sql)
     register("crawl_cabins", _crawl_cabins, _CRAWL_SQL["crawl_cabins"])
     register("crawl_lowest_fare", _crawl_lowest_fare, _CRAWL_SQL["crawl_lowest_fare"])

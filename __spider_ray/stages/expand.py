@@ -79,12 +79,23 @@ def make_seeds_batch(batch: pa.Table, nation_map: dict[int, str]) -> pa.Table:
     return canonicalize_seed_batch(raw)
 
 
-def seeds_dataset(sf_dir: str) -> ray.data.Dataset:
+def _default_blocks() -> int:
+    """Blocks ≈ 2× cluster CPUs: the seed file is ONE parquet file (one
+    read block by default), which would serialize the whole expand →
+    fetch → parse chain into a single task no matter how many CPUs the
+    cluster has.  Splitting the read is what lets every downstream
+    map_batches fan out."""
+    import ray
+    return max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+
+def seeds_dataset(sf_dir: str, n_blocks: int | None = None) -> ray.data.Dataset:
     """Canonicalized seeds as a Dataset (columns pruned at the read)."""
     nation_map = load_nation_map(sf_dir)
     return (
         ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                              columns=["c_custkey", "c_nationkey"])
+                              columns=["c_custkey", "c_nationkey"],
+                              override_num_blocks=n_blocks or _default_blocks())
         .map_batches(lambda b: make_seeds_batch(b, nation_map),
                      batch_format="pyarrow")
     )
@@ -125,14 +136,20 @@ def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS) -> pa.Table:
         names=["from_city", "to_city", "from_city_code", "to_city_code",
                "flight_time", "is_low_price", "user_agent", "create_time"],
     )
+    # reference crawl order = seed-file order × day order (§2.6 O4)
+    priority = seed_index.to_numpy().astype(np.float64) * n_days + days
+    # numeric shuffle key: high bits = host hash (locality), low bits =
+    # priority (order) — one int64 sort instead of a (string, float) sort
+    host_hash = hash64(hosts)
+    sort_key = ((host_hash >> np.uint64(33)) << np.uint64(31)).astype(np.int64) \
+        + priority.astype(np.int64)
     return pa.table(
         {
             "url": urls,
             "host": hosts,
             "depth": pa.array(np.zeros(len(idx), dtype=np.int32)),
-            # reference crawl order = seed-file order × day order (§2.6 O4)
-            "priority": pa.array(
-                seed_index.to_numpy().astype(np.float64) * n_days + days),
+            "priority": pa.array(priority),
+            "sort_key": pa.array(sort_key),
             "seed_index": seed_index,
             "day_offset": pa.array(days),
             "meta": meta,

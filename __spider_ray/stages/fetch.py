@@ -68,18 +68,44 @@ def fetch_batch(batch: pa.Table, simulate_latency: bool = False) -> pa.Table:
     return out
 
 
+def fetch_with_policy(batch: pa.Table, politeness=None) -> pa.Table:
+    """Task-flavor fetch: same semantics as FetchWorker but runs as
+    stateless tasks (elastic, no pool startup cost) — the right shape
+    when the only 'state' is the politeness client handle."""
+    if batch.num_rows and politeness is not None:
+        politeness.acquire_for_batch(batch["host"])
+    return fetch_batch(batch)
+
+
 class FetchWorker:
     """Stateful fetch actor for ``map_batches(FetchWorker, concurrency=N)``.
 
     __init__ runs once per actor (session/UA state, politeness handle —
     the fix for the reference's model-reload-per-request anti-pattern,
     ``detect_server.py:65-345``); __call__ runs per batch.
+
+    S12 — proxy rotation: the reference loads 80 proxies/hour into
+    Redis and random-picks per request (``http_proxy.py:12-36``;
+    ``CtripSpiderMiddleware.py:434-444``).  Here the pool is per-actor
+    state rotated round-robin per batch — deterministic, no external
+    store.  T3/T4 — bounded challenge retries replace the reference's
+    unbounded recursive captcha loops
+    (``CtripSpiderMiddleware.py:254-280``).
     """
 
-    def __init__(self, politeness=None, max_retries: int = 2):
+    def __init__(self, politeness=None, max_retries: int = 2,
+                 proxies: list[str] | None = None, credentials=None):
         self.politeness = politeness          # HostPolicyClient or None
+        self.credentials = credentials        # CredentialClient or None
         self.max_retries = max_retries
+        self.proxies = proxies or [f"proxy-{i}.pool.test:8080" for i in range(8)]
+        self._proxy_i = 0
         self.session_id = "session"           # placeholder for real TLS session state
+
+    def next_proxy(self) -> str:
+        p = self.proxies[self._proxy_i % len(self.proxies)]
+        self._proxy_i += 1
+        return p
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.politeness is not None:

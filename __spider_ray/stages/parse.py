@@ -18,6 +18,7 @@ import json
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import synth
 from ..schemas import FLIGHT_RECORDS
@@ -35,82 +36,87 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     Non-200 / errored pages yield no rows here — they are routed to the
     dead-letter dataset by ``split_fetch_results`` (the explicit version
     of the reference's status routing at ctripSpider.py:243-332).
+
+    Execution shape: one ``json.loads`` per page (inherent), then ONE
+    list comprehension per JSON field over the flattened flight list;
+    every page-level column is expanded by a single vectorized
+    ``pc.take`` with a page-index array — no per-row dict juggling.
     """
-    meta = batch["meta"].combine_chunks()
-    metas = {f: meta.field(f).to_pylist()
-             for f in ("from_city", "to_city", "from_city_code", "to_city_code",
-                       "flight_time")}
-    create_time = meta.field("create_time").to_pylist()
-    urls = batch["url"].to_pylist()
-    hosts = batch["host"].to_pylist()
     status = batch["status"].to_numpy()
     errors = batch["error"].to_pylist()
     bodies = batch["body"].to_pylist()
-    seed_index = batch["seed_index"].to_numpy()
-    day_offset = batch["day_offset"].to_numpy()
+    urls = batch["url"].to_pylist()
 
-    cols: dict[str, list] = {name: [] for name in PROVENANCE}
-    for f in FLIGHT_RECORDS.names:
-        cols[f] = []
-
-    for i in range(len(urls)):
+    page_idx: list[int] = []          # source row per emitted flight
+    flights: list[dict] = []          # parsed flight dicts, page order
+    counts: list[int] = []            # fltitem count per *emitting* page
+    doc_ids: list[str] = []
+    for i in range(len(bodies)):
         if errors[i] is not None or status[i] not in (200, 201):
             continue
         try:
-            flights = json.loads(bodies[i])["fltitem"]
+            fl = json.loads(bodies[i])["fltitem"]
         except Exception:
             continue
-        if not flights:
+        if not fl:
             continue
-        n = len(flights)
-        doc_id = "doc-" + synth.md5(urls[i])
-        for j, fl in enumerate(flights):
-            cols["url"].append(urls[i])
-            cols["host"].append(hosts[i])
-            cols["doc_id"].append(doc_id)
-            cols["seed_index"].append(int(seed_index[i]))
-            cols["day_offset"].append(int(day_offset[i]))
-            cols["flight_idx"].append(j)
-            cols["media_ref"].append(fl["media_ref"] if fl.get("has_media") else None)
-            cols["company"].append(fl["company"])
-            cols["company_no"].append(fl["company_no"])
-            cols["plane_no"].append(fl["plane_no"])
-            cols["start_time"].append(fl["start_time"])
-            cols["end_time"].append(fl["end_time"])
-            cols["from_city"].append(metas["from_city"][i])
-            cols["from_city_code"].append(metas["from_city_code"][i])
-            cols["to_city"].append(metas["to_city"][i])
-            cols["to_city_code"].append(metas["to_city_code"][i])
-            cols["create_time"].append(create_time[i])
-            cols["discount"].append(fl["discount"])
-            cols["off_date"].append(metas["flight_time"][i])
-            cols["platform"].append(synth.PLATFORM)
-            cols["price"].append(fl["price"])
-            cols["flight_type"].append(fl["flight_type"])
-            cols["plane_type"].append(fl["plane_type"])
-            cols["flight_transfer"].append(fl["flight_transfer"])
-            cols["from_city_airport"].append("")
-            cols["to_city_airport"].append("")
-            cols["task_time"].append(synth.TASK_TIME)
-            cols["server_ip"].append(synth.SERVER_IP)
-            cols["flight_number"].append(n)
-            cols["lep_price"].append(None)
-            cols["is_meal"].append(None)
-            cols["baggage"].append(None)
+        page_idx.extend([i] * len(fl))
+        flights.extend(fl)
+        counts.append(len(fl))
+        doc_ids.append("doc-" + synth.md5(urls[i]))
 
-    arrays, names = [], []
-    for name in PROVENANCE:
-        names.append(name)
-        if name in ("seed_index",):
-            arrays.append(pa.array(cols[name], type=pa.int64()))
-        elif name in ("day_offset", "flight_idx"):
-            arrays.append(pa.array(cols[name], type=pa.int32()))
-        else:
-            arrays.append(pa.array(cols[name], type=pa.string()))
-    for field in FLIGHT_RECORDS:
-        names.append(field.name)
-        arrays.append(pa.array(cols[field.name], type=field.type))
-    return pa.Table.from_arrays(arrays, names=names)
+    n = len(flights)
+    idx = pa.array(np.asarray(page_idx, dtype=np.int64))
+    counts_np = np.asarray(counts, dtype=np.int64)
+    take = lambda col: pc.take(batch[col].combine_chunks(), idx)  # noqa: E731
+    meta = batch["meta"].combine_chunks()
+    mtake = lambda f: pc.take(meta.field(f), idx)                 # noqa: E731
+    const = lambda v: pa.array([v] * n, pa.string())              # noqa: E731
+
+    def jf(key: str) -> pa.Array:
+        return pa.array([f[key] for f in flights], pa.string())
+
+    arrays = {
+        "url": take("url"),
+        "host": take("host"),
+        "doc_id": pa.array(np.repeat(np.asarray(doc_ids, dtype=object), counts_np),
+                           pa.string()),
+        "seed_index": take("seed_index"),
+        "day_offset": take("day_offset"),
+        "flight_idx": pa.array(
+            np.concatenate([np.arange(c, dtype=np.int32) for c in counts_np])
+            if n else np.empty(0, dtype=np.int32)),
+        "media_ref": pa.array([f["media_ref"] if f.get("has_media") else None
+                               for f in flights], pa.string()),
+        "company": jf("company"),
+        "company_no": jf("company_no"),
+        "plane_no": jf("plane_no"),
+        "start_time": jf("start_time"),
+        "end_time": jf("end_time"),
+        "from_city": mtake("from_city"),
+        "from_city_code": mtake("from_city_code"),
+        "to_city": mtake("to_city"),
+        "to_city_code": mtake("to_city_code"),
+        "create_time": mtake("create_time"),
+        "discount": jf("discount"),
+        "off_date": mtake("flight_time"),
+        "platform": const(synth.PLATFORM),
+        "price": jf("price"),
+        "flight_type": jf("flight_type"),
+        "plane_type": jf("plane_type"),
+        "flight_transfer": jf("flight_transfer"),
+        "from_city_airport": const(""),
+        "to_city_airport": const(""),
+        "task_time": const(synth.TASK_TIME),
+        "server_ip": const(synth.SERVER_IP),
+        "flight_number": pa.array(np.repeat(counts_np, counts_np).astype(np.int32)
+                                  if n else np.empty(0, dtype=np.int32)),
+        "lep_price": pa.array([None] * n, pa.int32()),
+        "is_meal": pa.array([None] * n, pa.string()),
+        "baggage": pa.array([None] * n, pa.int32()),
+    }
+    names = list(PROVENANCE) + list(FLIGHT_RECORDS.names)
+    return pa.Table.from_arrays([arrays[x] for x in names], names=names)
 
 
 def split_fetch_results(batch: pa.Table) -> pa.Table:

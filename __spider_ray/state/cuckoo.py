@@ -35,7 +35,11 @@ class CuckooFilter:
         self.bucket_size = bucket_size
         self.mask = np.uint64(n_buckets - 1)
         self.table = np.zeros((n_buckets, bucket_size), dtype=np.uint16)
+        # occupancy per bucket — lets the bulk-insert fast path place
+        # fingerprints append-style without scanning for empty slots.
+        self.occ = np.zeros(n_buckets, dtype=np.int8)
         self.count = 0
+        self._compact = True      # empties are a suffix until a delete happens
         self._rng = np.random.RandomState(42)     # eviction slot choice (deterministic)
 
     # ------------------------------------------------------------- keys
@@ -62,48 +66,95 @@ class CuckooFilter:
                 | (b2 == fp[:, None]).any(axis=1))
 
     # ------------------------------------------------------------ write
+    def _place(self, idx: int, fp: int) -> bool:
+        row = self.table[idx]
+        empty = np.nonzero(row == _EMPTY)[0]
+        if len(empty):
+            row[empty[0]] = fp
+            self.occ[idx] += 1
+            self.count += 1
+            return True
+        return False
+
     def _insert_one(self, i1: int, i2: int, fp: int) -> bool:
-        for idx in (i1, i2):
-            row = self.table[idx]
-            empty = np.nonzero(row == _EMPTY)[0]
-            if len(empty):
-                row[empty[0]] = fp
-                self.count += 1
-                return True
-        # evict
+        if self._place(i1, fp) or self._place(i2, fp):
+            return True
+        # evict (swaps keep per-bucket occupancy unchanged)
         idx = i1 if self._rng.randint(2) else i2
         for _ in range(_MAX_KICKS):
             slot = self._rng.randint(self.bucket_size)
             fp, self.table[idx, slot] = int(self.table[idx, slot]), fp
-            alt = int((np.uint64(idx) ^ (hash64_ints(np.array([fp], np.uint64), seed=2)[0] & self.mask)))
-            idx = alt
-            row = self.table[idx]
-            empty = np.nonzero(row == _EMPTY)[0]
-            if len(empty):
-                row[empty[0]] = fp
-                self.count += 1
+            idx = int((np.uint64(idx)
+                       ^ (hash64_ints(np.array([fp], np.uint64), seed=2)[0] & self.mask)))
+            if self._place(idx, fp):
                 return True
         raise RuntimeError("cuckoo filter full — grow n_buckets")
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """Batched test-and-set: returns a bool mask of rows that were
         NEW (not seen before this call).  Duplicates *within* the batch
-        are also resolved — only the first occurrence is new."""
+        are also resolved — only the first occurrence is new.
+
+        Fast path (the 10^10-frontier hot loop): all-new placements go
+        through ONE vectorized append — sort candidates by bucket, rank
+        within bucket, scatter into ``occ[b] + rank`` slots.  Only rows
+        whose primary bucket overflows fall back to the per-item cuckoo
+        eviction walk (rare below ~80% load)."""
         h = hashes.astype(np.uint64)
         fp = self._fp(h)
         i1 = self._i1(h)
-        i2 = self._i2(i1, fp)
         seen = self.contains(h)
         new = np.zeros(len(h), dtype=bool)
-        batch_seen: set[tuple[int, int]] = set()
-        for j in np.nonzero(~seen)[0]:
-            key = (int(i1[j]), int(fp[j]))
-            if key in batch_seen:
-                continue
-            batch_seen.add(key)
-            self._insert_one(int(i1[j]), int(i2[j]), int(fp[j]))
-            new[j] = True
+        cand = np.nonzero(~seen)[0]
+        if not len(cand):
+            return new
+        # resolve in-batch duplicates on (i1, fp): keep first occurrence
+        key = (i1[cand].astype(np.uint64) << np.uint64(16)) | fp[cand].astype(np.uint64)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        first = np.empty(len(ks), dtype=bool)
+        first[0] = True
+        first[1:] = ks[1:] != ks[:-1]
+        ins = cand[np.sort(order[first])]           # original batch order
+        new[ins] = True
+        if self._compact:
+            # stage 1: vectorized append into primary buckets
+            miss = self._append_many(i1[ins], fp[ins])
+            if miss.any():
+                # stage 2: vectorized append into alternate buckets
+                rows = ins[miss]
+                alt = self._i2(i1[rows], fp[rows])
+                miss2 = self._append_many(alt, fp[rows])
+                rem = rows[miss2]
+            else:
+                rem = ins[:0]
+        else:
+            rem = ins
+        for row in rem:                              # rare: eviction walk
+            i2 = self._i2(i1[row:row + 1], fp[row:row + 1])[0]
+            self._insert_one(int(i1[row]), int(i2), int(fp[row]))
         return new
+
+    def _append_many(self, buckets: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Vectorized append of fps into prefix-occupied buckets.
+        Returns the mask of items that did NOT fit (bucket full)."""
+        so = np.argsort(buckets, kind="stable")
+        bs = buckets[so]
+        n = len(bs)
+        grp_start = np.empty(n, dtype=bool)
+        grp_start[0] = True
+        grp_start[1:] = bs[1:] != bs[:-1]
+        idx_of_start = np.maximum.accumulate(
+            np.where(grp_start, np.arange(n), 0))
+        rank = np.arange(n) - idx_of_start
+        slot = self.occ[bs].astype(np.int64) + rank
+        fits = slot < self.bucket_size
+        self.table[bs[fits], slot[fits]] = fps[so][fits]
+        np.add.at(self.occ, bs[fits], 1)
+        self.count += int(fits.sum())
+        miss = np.zeros(n, dtype=bool)
+        miss[so[~fits]] = True
+        return miss
 
     def delete(self, hashes: np.ndarray) -> np.ndarray:
         """Remove one matching fingerprint per hash; returns success mask."""
@@ -118,9 +169,11 @@ class CuckooFilter:
                 hit = np.nonzero(row == fp[j])[0]
                 if len(hit):
                     row[hit[0]] = _EMPTY
+                    self.occ[idx] -= 1
                     self.count -= 1
                     ok[j] = True
                     break
+        self._compact = False     # holes may not be a suffix anymore
         return ok
 
     @property
@@ -142,4 +195,9 @@ class CuckooFilter:
         f.table = np.frombuffer(snap["table"], dtype=np.uint16).reshape(
             snap["n_buckets"], snap["bucket_size"]).copy()
         f.count = snap["count"]
+        filled = f.table != _EMPTY
+        f.occ = filled.sum(axis=1).astype(np.int8)
+        # fast path is valid only if every bucket is prefix-occupied
+        # (slot k+1 filled ⇒ slot k filled)
+        f._compact = bool(np.all(filled[:, :-1] | ~filled[:, 1:]))
         return f

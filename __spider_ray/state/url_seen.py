@@ -39,7 +39,7 @@ class UrlSeenShard:
     vectorized gathers; four shards share a core without starving the
     fetch pool."""
 
-    def __init__(self, shard_id: int, n_buckets: int = 1 << 16, bucket_size: int = 4):
+    def __init__(self, shard_id: int, n_buckets: int = 1 << 20, bucket_size: int = 4):
         self.shard_id = shard_id
         self.filter = CuckooFilter(n_buckets=n_buckets, bucket_size=bucket_size)
 
@@ -68,7 +68,7 @@ class UrlSeenSet:
     """Client handle: routes URL batches to shards.  Serializable into
     map_batches workers (holds only actor handles)."""
 
-    def __init__(self, n_shards: int = 8, n_buckets: int = 1 << 16,
+    def __init__(self, n_shards: int = 8, n_buckets: int = 1 << 20,
                  bucket_size: int = 4, handles: list | None = None):
         assert n_shards & (n_shards - 1) == 0
         self.n_shards = n_shards

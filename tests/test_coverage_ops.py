@@ -1,0 +1,139 @@
+"""Tests for the parity operators: render/captcha stubs (S4/T1-T4),
+HTML span extraction (M13), scalar battery (§2.8), CSV sink (S6),
+stage registry (§2.10), credentials actor (S11/J3), proxy rotation
+(S12)."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from conftest import SF_SMALL
+
+from __spider_ray import synth
+from __spider_ray.functions import scalar
+from __spider_ray.pipelines.registry import StagePipeline
+from __spider_ray.sources.csv_sink import CSV_COLUMNS, write_partitioned_csv
+from __spider_ray.stages import html_extract, render
+from __spider_ray.stages.fetch import FetchWorker
+from __spider_ray.state.credentials import CredentialClient
+
+
+def test_render_worker_synthetic():
+    w = render.RenderWorker()
+    urls = [u for u in (f"https://h.test/r{i}" for i in range(60))
+            if synth.page_status(u)[0] == 200][:5]
+    out = w(pa.table({"url": pa.array(urls)}))
+    body = out["rendered_body"][0].as_py().decode()
+    assert "flight-desc" in body
+    # strict mode marks the real-decode boundary
+    with pytest.raises(NotImplementedError):
+        render.RenderWorker(strict=True)(pa.table({"url": pa.array(urls)}))
+
+
+def test_html_extract_matches_json_parse_fields():
+    url = next(u for u in (f"https://h.test/x{i}" for i in range(60))
+               if synth.page_status(u)[0] == 200)
+    docs = html_extract.html_to_docs_batch(
+        pa.table({"url": pa.array([url]),
+                  "rendered_body": pa.array([render.synthetic_html(url)],
+                                            pa.binary())}))
+    assert docs.num_rows == 1
+    spans = docs["spans"][0].as_py()
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    f0 = synth.flight_fields(url, 0)
+    assert texts[0] == f0["company"]             # first flight row leads
+    assert f0["price"] in texts
+    assert f"{f0['start_time']}-{f0['end_time']}" in texts
+    media = [s for s in spans if s["kind"] == "media"]
+    for m in media:
+        assert m["media_ref"].startswith("captcha://")
+    offs = [s["offset"] for s in spans]
+    assert offs == list(range(len(offs)))
+
+
+def test_captcha_scorer_stub():
+    w = render.CaptchaScorer()
+    out = w(pa.table({"media_ref": pa.array(["captcha://ab", "captcha://cd"])}))
+    assert out["n_boxes"].to_pylist() == [len(x) for x in out["click_xs"].to_pylist()]
+    assert all(2 <= n <= 4 for n in out["n_boxes"].to_pylist())
+    # deterministic
+    out2 = w(pa.table({"media_ref": pa.array(["captcha://ab", "captcha://cd"])}))
+    assert out["captcha_text"].to_pylist() == out2["captcha_text"].to_pylist()
+
+
+def test_slider_track_sums_to_distance():
+    for d in (37, 120, 260):
+        track = render.slider_track(d)
+        assert sum(track) == d
+        assert all(isinstance(x, int) for x in track)
+
+
+def test_scalar_battery():
+    assert scalar.hhmm_truncate(pa.array(["08:05:33"])).to_pylist() == ["08:05"]
+    assert scalar.company_code(pa.array(["MU5100"])).to_pylist() == ["MU"]
+    ts = pa.array([1_700_000_000_000_000], pa.timestamp("us"))
+    assert scalar.epoch_millis(ts).to_pylist() == [1_700_000_000_000]
+    assert scalar.epoch_millis_scalar("1970-01-01 00:00:01") == 1000
+    assert scalar.discount_label(pa.array([35, 99])).to_pylist() == ["3.5折", "9.9折"]
+    assert scalar.day_window("2026-01-01", 0, 0) == ["2026-01-01"]
+    assert len(scalar.day_window("2026-01-01", -1, -1)) == 15
+    assert scalar.day_window("2026-01-01", 2, 4) == [
+        "2026-01-03", "2026-01-04", "2026-01-05"]
+
+
+def test_has_field_probe():
+    meta = pa.StructArray.from_arrays(
+        [pa.array(["a", None]), pa.array([None, "b"])], names=["x", "y"])
+    t = pa.table({"meta": meta})
+    assert scalar.has_field(t, "meta.x").to_pylist() == [True, False]
+    assert scalar.has_field(t, "meta.y").to_pylist() == [False, True]
+
+
+def test_partitioned_csv_sink(tmp_path):
+    from __spider_ray.pipelines import crawl
+    recs = crawl.flight_records(SF_SMALL).limit(500)
+    out = str(tmp_path / "csvs")
+    manifest = write_partitioned_csv(recs, out).to_pandas()
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(files) == len(manifest)
+    assert manifest["rows"].sum() == 500
+    with open(os.path.join(out, files[0]), encoding="utf-8") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == CSV_COLUMNS
+    assert len(rows) >= 2
+
+
+def test_stage_registry_order_and_apply():
+    p = StagePipeline()
+    p.register("double", lambda t: t.set_column(0, "x", pa.compute.multiply(t["x"], 2)),
+               priority=200)
+    p.register("inc", lambda t: t.set_column(0, "x", pa.compute.add(t["x"], 1)),
+               priority=50)
+    assert p.names() == ["inc", "double"]
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([1, 2], pa.int64())}))
+    out = p.apply(ds).to_pandas()
+    assert list(out["x"]) == [4, 6]              # (x+1)*2 — priority order
+    with pytest.raises(ValueError):
+        p.register("inc", lambda t: t)
+    p.remove("double")
+    assert p.names() == ["inc"]
+
+
+def test_credentials_refresh_and_invalidate():
+    c = CredentialClient(ttl_s=3600)
+    t1 = c.token("ctrip")
+    assert t1 == c.token("ctrip")               # cached within TTL
+    c.invalidate("ctrip")
+    t2 = c.token("ctrip")
+    assert t2 != t1                             # refreshed, job not killed
+    assert c.token("yl") != t2                  # per-platform
+
+
+def test_proxy_rotation():
+    w = FetchWorker(proxies=["p0", "p1", "p2"])
+    assert [w.next_proxy() for _ in range(5)] == ["p0", "p1", "p2", "p0", "p1"]

@@ -1,0 +1,63 @@
+"""Tests for seed file reading/sharding (S1/S2) and the doc store."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+import ray.data
+
+from conftest import SF_SMALL
+
+from __spider_ray.sources import doc_store
+from __spider_ray.sources.seed_reader import read_seed_file
+
+SEED_LINES = [
+    "{'from_city_name': '广州', 'from_city_code': 'CAN', "
+    "'to_city_name': '北京', 'to_city_code': 'PEK'}",
+    '{"from_city_name": "上海", "from_city_code": "SHA", '
+    '"to_city_name": "武隆", "to_city_code": "CQW"}',
+    "{'from_city_name': '成都', 'from_city_code': 'CTU', "
+    "'to_city_name': '深圳', 'to_city_code': 'SZX'}",
+]
+
+
+@pytest.fixture()
+def seed_file(tmp_path):
+    p = tmp_path / "seeds.txt"
+    p.write_text("\n".join(SEED_LINES) + "\n", encoding="utf-8")
+    return str(p)
+
+
+def test_read_seed_file_both_syntaxes(seed_file):
+    ds = read_seed_file(seed_file)
+    rows = ds.to_pandas()
+    assert list(rows["seed_id"]) == [0, 1, 2]
+    assert list(rows["from_city_code"]) == ["CAN", "SHA", "CTU"]
+    assert rows["to_city_name"][1] == "武隆"
+
+
+def test_seed_shard_window(seed_file):
+    ds = read_seed_file(seed_file, from_line=2, to_line=3)
+    rows = ds.to_pandas()
+    assert list(rows["seed_id"]) == [1, 2]
+    full = read_seed_file(seed_file, from_line=-1, to_line=-1)
+    assert full.count() == 3
+
+
+def test_doc_store_roundtrip(tmp_path):
+    from __spider_ray.pipelines import crawl
+    docs = crawl.documents(SF_SMALL).limit(50)
+    path = str(tmp_path / "docs")
+    commit = doc_store.write_documents(docs, path, expected_rows=50)
+    assert commit["rows"] >= 50
+    assert commit["format"] in ("lance", "parquet")
+    back = doc_store.read_documents(path)
+    assert back.count() == commit["rows"]
+    assert doc_store.manifest(path)["rows"] == commit["rows"]
+
+
+def test_doc_store_count_verification(tmp_path):
+    ds = ray.data.from_items([{"doc_id": "a", "x": 1}])
+    with pytest.raises(RuntimeError, match="verification failed"):
+        doc_store.write_documents(ds, str(tmp_path / "short"), expected_rows=10)
