@@ -77,6 +77,45 @@ def _robots_filter(batch: pa.Table, policy: HostPolicyClient) -> pa.Table:
     return batch.filter(pa.array(mask))
 
 
+def salt_hot_hosts(frontier: "ray.data.Dataset", hot_fraction: float = 0.05,
+                   salt_bits: int = 3) -> "ray.data.Dataset":
+    """Skew mitigation (SURVEY.md §7.3): a hot host's URLs occupy one
+    contiguous ``sort_key`` range, so its fetch/parse CPU lands on few
+    tasks.  Hosts holding more than ``hot_fraction`` of the frontier get
+    ``2^salt_bits`` sub-ranges — salt = hash(url) bits spliced ABOVE the
+    priority bits, so each salted sub-range keeps crawl-order locality
+    while the host's work spreads across the range partitioner.
+
+    Politeness stays correct under salting: rate grants come from the
+    ONE HostPolicyActor bucket for that host regardless of which salted
+    partition issues the fetch (the actor is the single source of
+    truth; salt only balances CPU).
+
+    Cost: one tiny aggregate over host counts (rows = distinct hosts)
+    + one map_batches — no extra all-to-all.
+    """
+    from ..functions.hashing import hash64
+    counts = frontier.groupby("host").count().to_pandas()
+    total = int(counts["count()"].sum())
+    hot = set(counts[counts["count()"] > total * hot_fraction]["host"])
+    if not hot:
+        return frontier
+    hot_arr = pa.array(sorted(hot), pa.string())
+
+    def salt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_hot = pc.is_in(t["host"], value_set=hot_arr)
+        s = (hash64(t["url"].combine_chunks(), seed=13)
+             % np.uint64(1 << salt_bits)).astype(np.int64)
+        key = t["sort_key"].to_numpy()
+        salted = key + np.where(
+            np.asarray(is_hot.to_numpy(zero_copy_only=False), dtype=bool),
+            s << 28, 0)                      # above priority (<2^28), below host hash
+        return t.set_column(t.schema.get_field_index("sort_key"), "sort_key",
+                            pa.array(salted))
+    return frontier.map_batches(salt, batch_format="pyarrow")
+
+
 def _detail_fetch(batch: pa.Table, policy: HostPolicyClient | None) -> pa.Table:
     if batch.num_rows and policy is not None:
         policy.acquire_for_batch(batch["host"])
@@ -114,6 +153,7 @@ def run_crawl(
     resume: bool = True,
     max_depth: int = 1,
     n_days: int | None = None,
+    salt_hot: bool = False,
 ) -> dict:
     """Run the full crawl; returns the final metrics dict.
 
@@ -173,6 +213,8 @@ def run_crawl(
 
         # 1. priority shuffle (numeric key: host-hash high bits ⊕
         #    priority low bits)  2. seen semi-join  3. robots mask
+        if salt_hot:
+            frontier = salt_hot_hosts(frontier)
         fresh = (
             frontier.sort("sort_key")
             .map_batches(SeenFilterWorker, fn_constructor_kwargs={"seen": seen},

@@ -149,7 +149,8 @@ def run_scaling() -> dict:
                 best = r
         return best
 
-    hw8, hw32 = hw_speedup(8), hw_speedup(32)
+    hw8 = max(hw_speedup(8), hw_speedup(8))      # best-of-2 (noisy box)
+    hw32 = max(hw_speedup(32), hw_speedup(32))
     hw_ratio = hw32 / hw8            # the box's real 8→32 headroom (≤4)
     lo, hi = run(8), run(32)
     rate_lo = lo["urls"] / lo["queries"]["crawl_engine"]
