@@ -8,8 +8,8 @@ aggregate/sort shuffles"):
    of a host meet one token bucket in few tasks) and (b) orders by
    priority = reference crawl order (§2.6 O4);
 2. URL-seen semi-join: ``map_batches(SeenFilterWorker)`` — batched
-   ``check_and_add`` against the sharded cuckoo actors, worker-local
-   bloom pre-check; duplicates drop here, exactly once per URL;
+   ``check_and_add`` against the sharded cuckoo actors behind an exact
+   worker-local recent-set; duplicates drop here, exactly once per URL;
 3. robots mask via the HostPolicyActor TTL cache (reference semantics:
    allow-all, ``settings.py:21``);
 4. fetch: ``map_batches(FetchWorker, concurrency=N)`` actor pool with
@@ -40,22 +40,29 @@ import pyarrow as pa
 import ray.data
 
 from .. import checkpoint as ckpt
-from ..state.bloom import BloomFilter
 from ..state.politeness import HostPolicyClient
 from ..state.url_seen import UrlSeenSet
 from ..stages import detail, expand, fetch, parse, spans
 
 
 class SeenFilterWorker:
-    """Actor-pool seen-filter: worker-local bloom pre-check + batched
-    cuckoo-shard test-and-set.  The bloom screens URLs this worker has
-    already passed through (hot repeats skip the actor round-trip and
-    are dropped immediately); everything else goes to the authoritative
-    sharded test-and-set in ONE call per (shard, batch)."""
+    """Actor-pool seen-filter: worker-local EXACT recent-set pre-check +
+    batched cuckoo-shard test-and-set (one actor call per shard-batch).
 
-    def __init__(self, seen: UrlSeenSet, bloom_bits: int = 1 << 22):
+    The pre-check must be exact: a bloom filter here would drop its
+    false positives without ever consulting the authoritative shards —
+    at 10^10 scale that silently loses ~fp-rate of the frontier.  (A
+    bloom positive can only be trusted as *maybe seen*; verifying it
+    costs the same shard call it was meant to save.)  So the local
+    cache is a capped set of 64-bit URL hashes this worker has already
+    resolved — exact hits (hash-collision odds ≈ n²/2⁶⁵, negligible)
+    skip the actor round-trip; misses go to the cuckoo shards."""
+
+    MAX_RECENT = 2_000_000          # ~64 MB/worker; cleared when exceeded
+
+    def __init__(self, seen: UrlSeenSet):
         self.seen = seen
-        self.bloom = BloomFilter(n_bits=bloom_bits, k=5)
+        self.recent: set[int] = set()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -63,12 +70,16 @@ class SeenFilterWorker:
         from ..functions.hashing import hash64
         urls = batch["url"].combine_chunks()
         h = hash64(urls)
-        locally_seen = self.bloom.contains(h)
+        recent = self.recent
+        cached = np.fromiter((int(x) in recent for x in h), dtype=bool,
+                             count=len(h))
         new = np.zeros(len(h), dtype=bool)
-        cand = np.nonzero(~locally_seen)[0]
+        cand = np.nonzero(~cached)[0]
         if len(cand):
             new[cand] = self.seen.check_and_add(urls.take(pa.array(cand)))
-            self.bloom.add(h[cand[new[cand]]])
+            if len(recent) > self.MAX_RECENT:
+                recent.clear()
+            recent.update(int(x) for x in h[cand])   # resolved either way
         return batch.filter(pa.array(new))
 
 

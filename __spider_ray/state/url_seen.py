@@ -11,10 +11,11 @@ back the boolean new-mask.  Design points for the 10^10 frontier:
   collisions;
 - ONE actor call per (shard, batch) — counts, not per-URL calls; the
   per-batch work on the shard is the vectorized cuckoo lookup;
-- a worker-local bloom filter (``local_bloom``) can screen repeats
-  before any actor call (false positives fall through to the shard,
-  false negatives impossible), cutting actor traffic for hot repeated
-  URLs (same-host relative links, etc.);
+- workers keep an EXACT local recent-set of resolved URL hashes
+  (pipelines/epoch.SeenFilterWorker) to skip actor calls for repeats —
+  a bloom pre-check would silently drop its false positives, which is
+  why the approximate filters live on the authoritative shard side
+  only;
 - shards snapshot into the checkpoint (``snapshot_all``) and restore on
   resume — a killed job re-checks nothing it already fetched.
 
@@ -128,5 +129,7 @@ class UrlSeenSet:
 
 
 def local_bloom(n_bits: int = 1 << 22) -> BloomFilter:
-    """Worker-local pre-check bloom (held in FetchWorker.__init__)."""
+    """A worker-local bloom — ONLY for screens whose positives get
+    re-verified downstream (e.g. candidate pruning before an exact
+    join); never as the last word on membership (false positives)."""
     return BloomFilter(n_bits=n_bits, k=5)
