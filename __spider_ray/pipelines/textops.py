@@ -184,6 +184,16 @@ def q_dedup_minhash(sf_dir: str):
     return dd.verify_pairs_with_sigs(pairs_t, sig_map, threshold=0.7)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup clusters: MinHash pairs → distributed connected
+    components (min-label propagation).  Rows-only; exactness asserted
+    vs a union-find oracle in tests."""
+    import ray.data
+    pairs_t = q_dedup_minhash(sf_dir)
+    pairs = ray.data.from_arrow(pairs_t.select(["a", "b"]))
+    return dd.connected_components(pairs)
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs (hamming ≤ 3). Rows-only (tested)."""
     return dd.simhash_near_dups(corpus(sf_dir), max_hamming=3)
@@ -229,6 +239,7 @@ register("text_lang_id", q_lang_id, SQL_LANG_ID)
 register("text_fingerprint", q_fingerprint, SQL_FINGERPRINT)
 register("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT)
 register("dedup_minhash", q_dedup_minhash, None)
+register("dedup_clusters", q_dedup_clusters, None)
 register("dedup_simhash", q_dedup_simhash, None)
 register("knn_brute_topk", q_knn_brute, SQL_KNN_BRUTE)
 register("knn_lsh_topk", q_knn_lsh, None)

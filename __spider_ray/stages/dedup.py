@@ -173,6 +173,116 @@ def exact_jaccard_pair(text_a: str, text_b: str) -> tuple[int, int]:
     return len(A & B), len(A | B)
 
 
+# ------------------------------------------------- connected components
+def connected_components(pairs: ray.data.Dataset,
+                         max_rounds: int = 16) -> ray.data.Dataset:
+    """Cluster near-dup pairs into components: (node, component) rows,
+    component = min doc_id reachable.
+
+    Distributed min-label propagation (the groupby-rounds pattern for
+    when the candidate graph is NOT provably driver-small): each round
+    is two hash-bucket shuffles —
+      1. bucket by src: sorted-merge edges against current labels
+         (vectorized searchsorted) → (dst, src_label) messages;
+      2. bucket by node: min over (old label ∪ messages) → new labels.
+    Converges in ≤ graph-diameter rounds; stops early when no label
+    changed (tracked via a per-round changed-count aggregate).
+    """
+    import pyarrow.compute as pc
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        n = np.unique(t["src"].to_numpy())
+        return pa.table({"node": pa.array(n), "label": pa.array(n)})
+
+    def bucketize(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            key = hash64_ints(t[col].to_numpy().astype(np.uint64))
+            return t.append_column(
+                "bucket", pa.array((key % np.uint64(64)).astype(np.int64)))
+        return f
+
+    def dedup_nodes(g: pa.Table) -> pa.Table:
+        n = np.unique(g["node"].to_numpy())
+        return pa.table({"node": pa.array(n), "label": pa.array(n)})
+
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+                   .map_batches(bucketize("node"), batch_format="pyarrow")
+                   .groupby("bucket")
+                   .map_groups(lambda g: dedup_nodes(g.drop_columns(["bucket"])),
+                               batch_format="pyarrow")).materialize()
+
+    for _round in range(max_rounds):
+        lbl_tagged = labels.map_batches(
+            lambda t: pa.table({"src": t["node"], "dst": t["label"],
+                                "is_label": pa.array(np.ones(t.num_rows, bool))}),
+            batch_format="pyarrow")
+        edge_tagged = edges.map_batches(
+            lambda t: t.append_column(
+                "is_label", pa.array(np.zeros(t.num_rows, bool))),
+            batch_format="pyarrow")
+
+        def propagate(g: pa.Table) -> pa.Table:
+            is_lbl = g["is_label"].to_numpy(zero_copy_only=False)
+            src = g["src"].to_numpy()
+            dst = g["dst"].to_numpy()
+            lab_nodes = src[is_lbl]
+            lab_vals = dst[is_lbl]
+            order = np.argsort(lab_nodes)
+            lab_nodes, lab_vals = lab_nodes[order], lab_vals[order]
+            e_src, e_dst = src[~is_lbl], dst[~is_lbl]
+            pos = np.searchsorted(lab_nodes, e_src)
+            lbl_of_src = lab_vals[pos]              # every edge src has a label
+            return pa.table({
+                "node": pa.array(np.concatenate([e_dst, lab_nodes])),
+                "cand": pa.array(np.concatenate([lbl_of_src, lab_vals])),
+            })
+
+        def min_label(g: pa.Table) -> pa.Table:
+            node = g["node"].to_numpy()
+            cand = g["cand"].to_numpy()
+            order = np.lexsort((cand, node))
+            ns, cs = node[order], cand[order]
+            first = np.empty(len(ns), dtype=bool)
+            first[0] = True
+            first[1:] = ns[1:] != ns[:-1]
+            return pa.table({"node": pa.array(ns[first]),
+                             "label": pa.array(cs[first])})
+
+        new_labels = (
+            lbl_tagged.union(edge_tagged)
+            .map_batches(bucketize("src"), batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: propagate(g.drop_columns(["bucket"])),
+                        batch_format="pyarrow")
+            .map_batches(bucketize("node"), batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: min_label(g.drop_columns(["bucket"])),
+                        batch_format="pyarrow")
+        ).materialize()
+
+        # converged? compare label multisets (cheap aggregates)
+        old_sum = labels.map_batches(
+            lambda t: pa.table({"s": pa.array([int(t["label"].to_numpy().sum())])}),
+            batch_format="pyarrow").sum("s")
+        new_sum = new_labels.map_batches(
+            lambda t: pa.table({"s": pa.array([int(t["label"].to_numpy().sum())])}),
+            batch_format="pyarrow").sum("s")
+        labels = new_labels
+        if old_sum == new_sum:       # labels only ever decrease → fixed point
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "component": t["label"]}),
+        batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ SimHash
 def simhash_batch(t: pa.Table) -> pa.Table:
     """documents batch → (doc_id, simhash int64): sign-accumulated

@@ -96,3 +96,35 @@ def test_exact_dedup_counts():
     n_exact_dups = len([i for i in corpus if i < 100000 and i % 5 == 0])
     assert len(out) == len(corpus) - n_exact_dups
     assert (out[out["n_copies"] == 2]["doc_id"] % 5 == 0).all()
+
+
+def test_connected_components_vs_union_find():
+    pairs = textops.q_dedup_minhash(SF_SMALL)
+    comp = textops.q_dedup_clusters(SF_SMALL).to_pandas()
+    # union-find oracle on the same pairs
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        union(int(a), int(b))
+    want = {n: find(n) for n in parent}
+    got = dict(zip(comp["doc_id"].astype(int), comp["component"].astype(int)))
+    assert got == want
+    # every component label is the min doc_id of its members
+    from collections import defaultdict
+    members = defaultdict(list)
+    for n, c in got.items():
+        members[c].append(n)
+    for c, ms in members.items():
+        assert c == min(ms + [c])
