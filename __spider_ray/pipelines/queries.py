@@ -152,9 +152,7 @@ def _crawl_dead_letter(sf_dir: str):
 
 
 def _crawl_cabins(sf_dir: str):
-    ds = crawl.detail_cabins(sf_dir)
-    ds = _cast_int64(ds, ["cabin_idx"])
-    return ds.map_batches(lambda t: t.drop_columns([]), batch_format="pyarrow")
+    return _cast_int64(crawl.detail_cabins(sf_dir), ["cabin_idx"])
 
 
 def _crawl_lowest_fare(sf_dir: str):

@@ -120,3 +120,14 @@ def test_robots_allow_all_default():
     pol = HostPolicyClient(n_actors=2, delay_s=0.0)
     mask = pol.robots_mask(pa.array([f"h{i}.test" for i in range(20)]))
     assert mask.all()
+
+
+def test_robots_pluggable_fetcher_denies():
+    deny = HostPolicyClient(
+        n_actors=2, delay_s=0.0,
+        robots_fetcher=lambda h: not h.startswith("blocked"))
+    mask = deny.robots_mask(pa.array(["blocked.test", "ok.test", "blocked2.x"]))
+    assert list(mask) == [False, True, False]
+    # TTL cache: second call answers from cache (same result, no refetch crash)
+    mask2 = deny.robots_mask(pa.array(["blocked.test", "ok.test"]))
+    assert list(mask2) == [False, True]
