@@ -170,9 +170,13 @@ FROM corpus GROUP BY md5(lower(text))
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs (signature-estimate ≥ 70%).
     No SQL oracle (LSH is not SQL-expressible); exactness is covered by
-    tests/test_dedup.py against brute-force n-gram Jaccard."""
+    tests against brute-force n-gram Jaccard.
+
+    Signatures are materialized once (a few MB — doc_id + 64×u64) and
+    reused for band explosion AND pair verification, instead of
+    re-running shingle+minhash per consumer."""
     docs = corpus(sf_dir)
-    sigs, pairs = dd.minhash_candidates(docs)
+    sigs, pairs = dd.minhash_candidates(docs, materialize_sigs=True)
     pairs_t = pa.Table.from_pandas(pairs.to_pandas())
     involved = set(pairs_t["a"].to_pylist()) | set(pairs_t["b"].to_pylist())
     sig_rows = sigs.map_batches(

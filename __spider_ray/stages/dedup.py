@@ -103,6 +103,38 @@ def pairs_from_bucket(g: pa.Table) -> pa.Table:
     return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
 
 
+def pairs_from_hash_bucket(g: pa.Table,
+                           key_cols: tuple[str, str]) -> pa.Table:
+    """Hash-bucket flavor: the group holds MANY (key) LSH buckets.  One
+    lexsort finds group boundaries; singleton groups (the vast
+    majority) are skipped wholesale; only colliding groups — each a
+    handful of docs — loop to emit their triu pairs."""
+    k0 = g[key_cols[0]].to_numpy()
+    k1 = g[key_cols[1]].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    order = np.lexsort((ids, k1, k0))
+    k0s, k1s, ds = k0[order], k1[order], ids[order]
+    start = np.empty(len(ds), dtype=bool)
+    start[0] = True
+    start[1:] = (k0s[1:] != k0s[:-1]) | (k1s[1:] != k1s[:-1])
+    bounds = np.append(np.nonzero(start)[0], len(ds))
+    sizes = np.diff(bounds)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for gi in np.nonzero(sizes > 1)[0]:          # colliding groups only
+        members = np.unique(ds[bounds[gi]:bounds[gi + 1]])
+        if len(members) < 2:
+            continue
+        ai, bi = np.triu_indices(len(members), k=1)
+        out_a.append(members[ai])
+        out_b.append(members[bi])
+    if not out_a:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    return pa.table({"a": pa.array(np.concatenate(out_a)),
+                     "b": pa.array(np.concatenate(out_b))})
+
+
 def _distinct_pairs(pairs: ray.data.Dataset,
                     extra_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
     """Distinct (a,b) rows via hash-bucket + per-bucket np.unique —
@@ -131,13 +163,35 @@ def _distinct_pairs(pairs: ray.data.Dataset,
                  .groupby("bucket").map_groups(uniq, batch_format="pyarrow"))
 
 
-def minhash_candidates(docs: ray.data.Dataset) -> tuple[ray.data.Dataset,
-                                                        ray.data.Dataset]:
-    """(signatures, distinct candidate pairs) for a documents dataset."""
+def _bucketize_on(col: str, n_buckets: int = 64):
+    def f(t: pa.Table) -> pa.Table:
+        key = hash64_ints(t[col].to_numpy().astype(np.uint64))
+        return t.append_column(
+            "hbucket", pa.array((key % np.uint64(n_buckets)).astype(np.int64)))
+    return f
+
+
+def minhash_candidates(docs: ray.data.Dataset,
+                       materialize_sigs: bool = False) -> tuple[ray.data.Dataset,
+                                                                ray.data.Dataset]:
+    """(signatures, distinct candidate pairs) for a documents dataset.
+
+    Shuffle shape: (band_id, band_hash) rows re-key onto 64 hash
+    buckets; per-bucket pair generation is one vectorized boundary scan
+    (pairs_from_hash_bucket) — not one Python group per LSH bucket.
+
+    ``materialize_sigs=True`` pins the signature table (bytes per doc ≈
+    8×N_PERM) so multiple consumers don't re-run shingle+minhash — the
+    legitimate use of ``materialize`` on a small reused intermediate."""
     sigs = docs.map_batches(minhash_batch, batch_format="pyarrow")
+    if materialize_sigs:
+        sigs = sigs.materialize()
     raw = (sigs.map_batches(bands_batch, batch_format="pyarrow")
-               .groupby(["band_id", "band_hash"])
-               .map_groups(pairs_from_bucket, batch_format="pyarrow"))
+               .map_batches(_bucketize_on("band_hash"), batch_format="pyarrow")
+               .groupby("hbucket")
+               .map_groups(lambda g: pairs_from_hash_bucket(
+                   g.drop_columns(["hbucket"]), ("band_id", "band_hash")),
+                   batch_format="pyarrow"))
     return sigs, _distinct_pairs(raw)
 
 
@@ -339,11 +393,51 @@ def simhash_pairs_from_bucket(g: pa.Table) -> pa.Table:
                      "hamming": pa.array(ham)})
 
 
+def _simhash_pairs_hash_bucket(g: pa.Table) -> pa.Table:
+    """Vectorized over the whole hash bucket: boundary-scan the
+    (chunk_id, chunk_val) groups, triu-pair only colliding ones,
+    popcount hamming on the XOR of member signatures."""
+    c0 = g["chunk_id"].to_numpy()
+    c1 = g["chunk_val"].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    sig = g["simhash"].to_numpy().astype(np.uint64)
+    order = np.lexsort((ids, c1, c0))
+    c0s, c1s, ds, ss = c0[order], c1[order], ids[order], sig[order]
+    start = np.empty(len(ds), dtype=bool)
+    start[0] = True
+    start[1:] = (c0s[1:] != c0s[:-1]) | (c1s[1:] != c1s[:-1])
+    bounds = np.append(np.nonzero(start)[0], len(ds))
+    sizes = np.diff(bounds)
+    As, Bs, Ha, Hb = [], [], [], []
+    for gi in np.nonzero(sizes > 1)[0]:
+        lo, hi = bounds[gi], bounds[gi + 1]
+        m_ids, first = np.unique(ds[lo:hi], return_index=True)
+        m_sig = ss[lo:hi][first]
+        if len(m_ids) < 2:
+            continue
+        ai, bi = np.triu_indices(len(m_ids), k=1)
+        As.append(m_ids[ai]); Bs.append(m_ids[bi])
+        Ha.append(m_sig[ai]); Hb.append(m_sig[bi])
+    if not As:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    a = np.concatenate(As); b = np.concatenate(Bs)
+    x = np.concatenate(Ha) ^ np.concatenate(Hb)
+    ham = np.zeros(len(x), dtype=np.int64)
+    for s in range(64):
+        ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+    return pa.table({"a": pa.array(a), "b": pa.array(b),
+                     "hamming": pa.array(ham)})
+
+
 def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Dataset:
     sigs = docs.map_batches(simhash_batch, batch_format="pyarrow")
     pairs = (sigs.map_batches(simhash_bands_batch, batch_format="pyarrow")
-                 .groupby(["chunk_id", "chunk_val"])
-                 .map_groups(simhash_pairs_from_bucket, batch_format="pyarrow"))
+                 .map_batches(_bucketize_on("chunk_val"), batch_format="pyarrow")
+                 .groupby("hbucket")
+                 .map_groups(lambda g: _simhash_pairs_hash_bucket(
+                     g.drop_columns(["hbucket"])), batch_format="pyarrow"))
     pairs = pairs.map_batches(
         lambda t: t.filter(pa.compute.less_equal(t["hamming"], max_hamming)),
         batch_format="pyarrow")
