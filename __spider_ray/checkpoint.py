@@ -30,6 +30,62 @@ def epoch_marker(out_dir: str, epoch: int) -> str:
     return os.path.join(out_dir, f"epoch={epoch}.json")
 
 
+def chunk_marker(out_dir: str, epoch: int, chunk: int) -> str:
+    return os.path.join(out_dir, f"epoch={epoch}.chunk={chunk}.json")
+
+
+def complete_chunks(out_dir: str, epoch: int) -> list[int]:
+    """Chunk ids of this epoch that committed (sorted)."""
+    import re
+    pat = re.compile(rf"^epoch={epoch}\.chunk=(\d+)\.json$")
+    out = []
+    for f in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
+        m = pat.match(f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def commit_chunk(out_dir: str, epoch: int, chunk: int, metrics: dict,
+                 seen_snapshots: list[dict] | None) -> None:
+    """Intra-epoch commit: chunk outputs + seen-filter snapshot — the
+    unit of 'resume without re-fetching' (a killed job loses at most
+    one in-flight chunk)."""
+    if seen_snapshots is not None:
+        state_dir = os.path.join(out_dir, f"state/epoch={epoch}.chunk={chunk}")
+        os.makedirs(state_dir, exist_ok=True)
+        for i, snap in enumerate(seen_snapshots):
+            arrays = {k: np.frombuffer(v, dtype=np.uint8) if isinstance(v, bytes)
+                      else np.asarray(v) for k, v in snap.items()}
+            np.savez_compressed(
+                os.path.join(state_dir, f"seen_shard_{i}.npz"), **arrays)
+        metrics = dict(metrics, seen_snapshot_dir=state_dir)
+    tmp = chunk_marker(out_dir, epoch, chunk) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(dict(metrics, epoch=epoch, chunk=chunk), f, ensure_ascii=False)
+    os.replace(tmp, chunk_marker(out_dir, epoch, chunk))
+
+
+def read_chunk_marker(out_dir: str, epoch: int, chunk: int) -> dict:
+    with open(chunk_marker(out_dir, epoch, chunk)) as f:
+        return json.load(f)
+
+
+def load_chunk_snapshots(out_dir: str, epoch: int, chunk: int,
+                         n_shards: int) -> list[dict]:
+    state_dir = os.path.join(out_dir, f"state/epoch={epoch}.chunk={chunk}")
+    return _load_snapshots(state_dir, n_shards)
+
+
+def drop_chunk_state(out_dir: str, epoch: int) -> None:
+    """After an epoch-level commit, the per-chunk snapshots are
+    superseded — free the space, keep the (tiny) chunk markers."""
+    import glob
+    import shutil
+    for d in glob.glob(os.path.join(out_dir, f"state/epoch={epoch}.chunk=*")):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def last_complete_epoch(out_dir: str) -> int:
     """Highest epoch with a _SUCCESS marker, or -1."""
     e = -1
@@ -60,9 +116,7 @@ def read_marker(out_dir: str, epoch: int) -> dict:
         return json.load(f)
 
 
-def load_seen_snapshots(out_dir: str, epoch: int, n_shards: int,
-                        kind: str = "cuckoo") -> list[dict]:
-    state_dir = os.path.join(out_dir, f"state/epoch={epoch}")
+def _load_snapshots(state_dir: str, n_shards: int) -> list[dict]:
     snaps = []
     for i in range(n_shards):
         z = np.load(os.path.join(state_dir, f"seen_shard_{i}.npz"))
@@ -73,3 +127,7 @@ def load_seen_snapshots(out_dir: str, epoch: int, n_shards: int,
                 else (int(v) if v.ndim == 0 else v.tobytes())
         snaps.append(snap)
     return snaps
+
+
+def load_seen_snapshots(out_dir: str, epoch: int, n_shards: int) -> list[dict]:
+    return _load_snapshots(os.path.join(out_dir, f"state/epoch={epoch}"), n_shards)

@@ -165,13 +165,21 @@ def run_crawl(
     max_depth: int = 1,
     n_days: int | None = None,
     salt_hot: bool = False,
+    n_chunks: int = 1,
+    _fail_after_chunk: int | None = None,
 ) -> dict:
     """Run the full crawl; returns the final metrics dict.
 
-    Resumable: with ``resume=True`` and a prior partial run in
-    ``out_dir``, completed epochs are skipped (their outputs kept), the
-    seen filters are restored from the last snapshot, and the crawl
-    continues from the stored next-frontier."""
+    Resumable at two granularities: completed EPOCHS are skipped
+    entirely; within an epoch, the frontier is hash-partitioned into
+    ``n_chunks`` ranges, each committed (outputs + seen-filter
+    snapshot + metrics marker) independently — a killed job resumes
+    after its last complete chunk and re-fetches at most one in-flight
+    chunk.  ``n_chunks=1`` keeps the single-pass fast path.
+
+    ``_fail_after_chunk`` is a test hook simulating a crash right after
+    that chunk's commit.  Resuming requires the same ``n_chunks`` as
+    the interrupted run (the chunk hash-partitioning must line up)."""
     if not resume:
         shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
@@ -210,79 +218,116 @@ def run_crawl(
                   flush=True)
         return _time.perf_counter()
 
+    def _chunk_filter(t: pa.Table, chunk: int) -> pa.Table:
+        from ..functions.hashing import hash64
+        c = ((hash64(t["url"].combine_chunks(), seed=29) >> np.uint64(8))
+             % np.uint64(n_chunks)).astype(np.int64)
+        return t.filter(pa.array(c == chunk))
+
     for epoch in range(start_epoch, max_depth + 1):
         if epoch == 0:
             from .. import synth
-            frontier = expand.frontier_dataset(sf_dir, n_days or synth.N_DAYS)
+            frontier_full = expand.frontier_dataset(sf_dir, n_days or synth.N_DAYS)
         else:
             fdir = os.path.join(out_dir, f"frontier/epoch={epoch}")
             if not os.path.exists(fdir):
                 break
             from ..stages.expand import _default_blocks
-            frontier = ray.data.read_parquet(
+            frontier_full = ray.data.read_parquet(
                 fdir, override_num_blocks=_default_blocks())
-
-        # 1. priority shuffle (numeric key: host-hash high bits ⊕
-        #    priority low bits)  2. seen semi-join  3. robots mask
         if salt_hot:
-            frontier = salt_hot_hosts(frontier)
-        fresh = (
-            frontier.sort("sort_key")
-            .map_batches(SeenFilterWorker, fn_constructor_kwargs={"seen": seen},
-                         batch_format="pyarrow", batch_size=fetch_batch_size,
-                         concurrency=seen_concurrency, num_cpus=0.25)
-            .map_batches(lambda b: _robots_filter(b, policy),
-                         batch_format="pyarrow")
-        )
+            frontier_full = salt_hot_hosts(frontier_full)
 
-        if epoch == 0:
-            t0 = _time.perf_counter()
-            records_dir = os.path.join(out_dir, f"records/epoch={epoch}")
-            docs_dir = os.path.join(out_dir, f"docs/epoch={epoch}")
-            next_dir = os.path.join(out_dir, "frontier/epoch=1")
-            for d in (records_dir, docs_dir, next_dir):   # clear partial epoch
-                shutil.rmtree(d, ignore_errors=True)
-                os.makedirs(d, exist_ok=True)
-            # ONE streaming pass: fetch → parse → side-write docs+links
-            # → records sink.  No mid-pipeline materialize, no re-read.
-            (
-                fresh.map_batches(
-                    lambda b: fetch.fetch_with_policy(b, policy),
-                    batch_format="pyarrow", batch_size=fetch_batch_size)
-                .map_batches(parse.parse_batch, batch_format="pyarrow")
-                .map_batches(lambda t: _side_write(t, docs_dir, next_dir),
+        done = set(ckpt.complete_chunks(out_dir, epoch)) if resume else set()
+        if done:
+            # mid-epoch resume: restore the seen set as of the last
+            # complete chunk and carry its running totals forward
+            last = max(done)
+            seen.restore_all(ckpt.load_chunk_snapshots(out_dir, epoch, last,
+                                                       n_seen_shards))
+            totals.update(ckpt.read_chunk_marker(out_dir, epoch, last)
+                          .get("totals", totals))
+
+        next_dir = os.path.join(out_dir, "frontier/epoch=1")
+        if epoch == 0 and not done:
+            shutil.rmtree(next_dir, ignore_errors=True)
+        os.makedirs(next_dir, exist_ok=True)
+
+        for chunk in range(n_chunks):
+            if chunk in done:
+                continue
+            frontier = frontier_full if n_chunks == 1 else \
+                frontier_full.map_batches(
+                    lambda t, c=chunk: _chunk_filter(t, c),
+                    batch_format="pyarrow")
+
+            # 1. priority shuffle (numeric key: host-hash high bits ⊕
+            #    priority low bits)  2. seen semi-join  3. robots mask
+            fresh = (
+                frontier.sort("sort_key")
+                .map_batches(SeenFilterWorker,
+                             fn_constructor_kwargs={"seen": seen},
+                             batch_format="pyarrow",
+                             batch_size=fetch_batch_size,
+                             concurrency=seen_concurrency, num_cpus=0.25)
+                .map_batches(lambda b: _robots_filter(b, policy),
                              batch_format="pyarrow")
-                .write_parquet(records_dir)
             )
-            t0 = _t("e0 pass", t0)
-            n_rec = ray.data.read_parquet(records_dir).count()    # metadata-only
-            n_docs = ray.data.read_parquet(docs_dir).count()
-            t0 = _t("e0 counts", t0)
-            totals["records"] += n_rec
-            totals["docs"] += n_docs
-            metrics = {"records": n_rec, "docs": n_docs, "totals": totals}
-        else:
-            t0 = _time.perf_counter()
-            fares_dir = os.path.join(out_dir, f"fares/epoch={epoch}")
-            shutil.rmtree(fares_dir, ignore_errors=True)
-            (
-                fresh.map_batches(
-                    lambda b: _detail_fetch(b, policy),
-                    batch_format="pyarrow", batch_size=fetch_batch_size)
-                .map_batches(detail.parse_cabins_batch, batch_format="pyarrow")
-                .map_batches(detail.lowest_fare_batch, batch_format="pyarrow")
-                .write_parquet(fares_dir)
-            )
-            t0 = _t("e1 pass", t0)
-            n_fares = ray.data.read_parquet(fares_dir).count()
-            totals["fares"] += n_fares
-            metrics = {"fares": n_fares, "totals": totals}
 
-        t0 = _time.perf_counter()
-        metrics["seen_stats"] = seen.stats()
-        metrics["policy_stats"] = policy.stats()
-        ckpt.commit_epoch(out_dir, epoch, metrics, seen.snapshot_all())
-        _t(f"e{epoch} commit", t0)
+            t0 = _time.perf_counter()
+            if epoch == 0:
+                records_dir = os.path.join(
+                    out_dir, f"records/epoch={epoch}/chunk={chunk}")
+                docs_dir = os.path.join(
+                    out_dir, f"docs/epoch={epoch}/chunk={chunk}")
+                for d in (records_dir, docs_dir):     # clear partial CHUNK
+                    shutil.rmtree(d, ignore_errors=True)
+                    os.makedirs(d, exist_ok=True)
+                # ONE streaming pass: fetch → parse → side-write docs +
+                # links → records sink.  No mid-pipeline materialize.
+                (
+                    fresh.map_batches(
+                        lambda b: fetch.fetch_with_policy(b, policy),
+                        batch_format="pyarrow", batch_size=fetch_batch_size)
+                    .map_batches(parse.parse_batch, batch_format="pyarrow")
+                    .map_batches(lambda t: _side_write(t, docs_dir, next_dir),
+                                 batch_format="pyarrow")
+                    .write_parquet(records_dir)
+                )
+                t0 = _t(f"e0.c{chunk} pass", t0)
+                n_rec = ray.data.read_parquet(records_dir).count()  # metadata
+                n_docs = ray.data.read_parquet(docs_dir).count()
+                totals["records"] += n_rec
+                totals["docs"] += n_docs
+                metrics = {"records": n_rec, "docs": n_docs, "totals": dict(totals)}
+            else:
+                fares_dir = os.path.join(
+                    out_dir, f"fares/epoch={epoch}/chunk={chunk}")
+                shutil.rmtree(fares_dir, ignore_errors=True)
+                (
+                    fresh.map_batches(
+                        lambda b: _detail_fetch(b, policy),
+                        batch_format="pyarrow", batch_size=fetch_batch_size)
+                    .map_batches(detail.parse_cabins_batch, batch_format="pyarrow")
+                    .map_batches(detail.lowest_fare_batch, batch_format="pyarrow")
+                    .write_parquet(fares_dir)
+                )
+                t0 = _t(f"e{epoch}.c{chunk} pass", t0)
+                n_fares = ray.data.read_parquet(fares_dir).count()
+                totals["fares"] += n_fares
+                metrics = {"fares": n_fares, "totals": dict(totals)}
+
+            ckpt.commit_chunk(out_dir, epoch, chunk, metrics,
+                              seen.snapshot_all())
+            _t(f"e{epoch}.c{chunk} commit", t0)
+            if _fail_after_chunk is not None and chunk >= _fail_after_chunk:
+                raise RuntimeError(
+                    f"simulated crash after epoch {epoch} chunk {chunk}")
+
+        epoch_metrics = {"totals": dict(totals), "seen_stats": seen.stats(),
+                         "policy_stats": policy.stats()}
+        ckpt.commit_epoch(out_dir, epoch, epoch_metrics, seen.snapshot_all())
+        ckpt.drop_chunk_state(out_dir, epoch)
 
     return {"last_epoch": ckpt.last_complete_epoch(out_dir), "totals": totals,
             "seen": seen.stats(), "policy": policy.stats()}

@@ -45,7 +45,8 @@ def test_detail_fares_schema_and_semantics():
     if not os.path.exists(os.path.join(OUT, "fares/epoch=1")):
         _run_fresh()
     fares = ray.data.read_parquet(os.path.join(OUT, "fares/epoch=1")).to_pandas()
-    fares = fares.drop(columns=[c for c in ("epoch",) if c in fares.columns])
+    fares = fares.drop(columns=[c for c in ("epoch", "chunk")
+                                if c in fares.columns])
     assert set(fares.columns) == {"plane_no", "off_date", "lep_price",
                                   "is_meal", "baggage", "min_cabin_price"}
     assert (fares["lep_price"] > 0).all()
@@ -102,3 +103,44 @@ def test_resume_noop_when_complete():
                 for f in os.listdir(fares_dir))
     assert after == mtime
     assert res["last_epoch"] == 1
+
+
+def test_chunked_crawl_matches_unchunked():
+    out_c = "/tmp/spider_ray_test/chunked"
+    shutil.rmtree(out_c, ignore_errors=True)
+    res = epoch.run_crawl(SF_SMALL, out_c, resume=False, n_seen_shards=2,
+                          fetch_concurrency=2, n_chunks=3)
+    _order, _seen, sim_docs = simulate(SF_SMALL)
+    docs = ray.data.read_parquet(os.path.join(out_c, "docs/epoch=0")).to_pandas()
+    assert set(docs["doc_id"]) == set(sim_docs)
+    assert res["totals"]["docs"] == len(sim_docs)
+    assert res["totals"]["fares"] > 0
+    # three chunk markers per epoch + the epoch markers
+    for e in (0, 1):
+        for c in (0, 1, 2):
+            assert os.path.exists(os.path.join(out_c, f"epoch={e}.chunk={c}.json"))
+
+
+def test_mid_epoch_crash_resume():
+    out_c = "/tmp/spider_ray_test/crash"
+    shutil.rmtree(out_c, ignore_errors=True)
+    import pytest
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        epoch.run_crawl(SF_SMALL, out_c, resume=False, n_seen_shards=2,
+                        fetch_concurrency=2, n_chunks=3, _fail_after_chunk=0)
+    # chunk 0 of epoch 0 committed; chunks 1-2 and epoch 1 missing
+    assert os.path.exists(os.path.join(out_c, "epoch=0.chunk=0.json"))
+    assert not os.path.exists(os.path.join(out_c, "epoch=0.chunk=1.json"))
+    c0 = os.path.join(out_c, "records/epoch=0/chunk=0")
+    mtimes = {f: os.path.getmtime(os.path.join(c0, f)) for f in os.listdir(c0)}
+    # resume: must NOT re-fetch chunk 0, must complete everything else
+    res = epoch.run_crawl(SF_SMALL, out_c, resume=True, n_seen_shards=2,
+                          fetch_concurrency=2, n_chunks=3)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(c0, f)) == m, \
+            "chunk 0 was re-fetched on resume"
+    _order, _seen, sim_docs = simulate(SF_SMALL)
+    docs = ray.data.read_parquet(os.path.join(out_c, "docs/epoch=0")).to_pandas()
+    assert set(docs["doc_id"]) == set(sim_docs)        # no loss, no dups
+    assert len(docs) == len(sim_docs)
+    assert res["totals"]["docs"] == len(sim_docs)
