@@ -1,11 +1,12 @@
 """Cuckoo filter — the authoritative URL-seen membership structure.
 
 Direct descendant of the reference's disabled distributed dupefilter
-(``settings.py:23-28``), engineered for the 10^10-URL frontier: 16-bit
-fingerprints at 4 slots/bucket ≈ 2.5 bytes/key at 95% load → a 10^10
-frontier fits in ~25 GB across 256 shards (~100 MB/actor).  Unlike a
-bloom filter it supports deletion (re-crawl scheduling) and bounded
-false-positive rate under load.
+(``settings.py:23-28``), engineered for the 10^10-URL frontier: 32-bit
+fingerprints at 4 slots/bucket ≈ 5 bytes/key at 95% load → a 10^10
+frontier fits in ~50 GB across 256 shards (~200 MB/actor), with an
+expected lifetime false-dedup count of only O(100) at that scale
+(n²/2^(32+log2 buckets)).  Unlike a bloom filter it supports deletion
+(re-crawl scheduling) and bounded false-positive rate under load.
 
 Hot-path design: ``contains``/``check_and_add`` take uint64 hash
 *arrays*.  Lookup is fully vectorized (two gather passes).  Insertion
@@ -24,7 +25,7 @@ import numpy as np
 
 from ..functions.hashing import hash64_ints
 
-_EMPTY = np.uint16(0)
+_EMPTY = np.uint32(0)
 _MAX_KICKS = 500
 
 
@@ -34,7 +35,7 @@ class CuckooFilter:
         self.n_buckets = n_buckets
         self.bucket_size = bucket_size
         self.mask = np.uint64(n_buckets - 1)
-        self.table = np.zeros((n_buckets, bucket_size), dtype=np.uint16)
+        self.table = np.zeros((n_buckets, bucket_size), dtype=np.uint32)
         # occupancy per bucket — lets the bulk-insert fast path place
         # fingerprints append-style without scanning for empty slots.
         self.occ = np.zeros(n_buckets, dtype=np.int8)
@@ -44,7 +45,12 @@ class CuckooFilter:
 
     # ------------------------------------------------------------- keys
     def _fp(self, hashes: np.ndarray) -> np.ndarray:
-        fp = (hashes >> np.uint64(48)).astype(np.uint16)
+        # 32-bit fingerprints from an INDEPENDENT hash pass (not a bit
+        # slice of the key hash — shard routing and bucket index use
+        # those bits).  16-bit fps collide ~n²/2^(16+log2 buckets):
+        # measurably lossy at millions of URLs; 32-bit pushes the
+        # expected false-dedup count at 10^10 keys to O(100).
+        fp = (hash64_ints(hashes, seed=5) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         fp[fp == 0] = 1                            # 0 is the empty marker
         return fp
 
@@ -109,7 +115,7 @@ class CuckooFilter:
         if not len(cand):
             return new
         # resolve in-batch duplicates on (i1, fp): keep first occurrence
-        key = (i1[cand].astype(np.uint64) << np.uint64(16)) | fp[cand].astype(np.uint64)
+        key = (i1[cand].astype(np.uint64) << np.uint64(32)) | fp[cand].astype(np.uint64)
         order = np.argsort(key, kind="stable")
         ks = key[order]
         first = np.empty(len(ks), dtype=bool)
@@ -192,7 +198,7 @@ class CuckooFilter:
     @classmethod
     def restore(cls, snap: dict) -> "CuckooFilter":
         f = cls(n_buckets=snap["n_buckets"], bucket_size=snap["bucket_size"])
-        f.table = np.frombuffer(snap["table"], dtype=np.uint16).reshape(
+        f.table = np.frombuffer(snap["table"], dtype=np.uint32).reshape(
             snap["n_buckets"], snap["bucket_size"]).copy()
         f.count = snap["count"]
         filled = f.table != _EMPTY
