@@ -144,3 +144,24 @@ def test_mid_epoch_crash_resume():
     assert set(docs["doc_id"]) == set(sim_docs)        # no loss, no dups
     assert len(docs) == len(sim_docs)
     assert res["totals"]["docs"] == len(sim_docs)
+
+
+def test_engine_respects_politeness_budget():
+    """End-to-end rate limiting: a 1-day crawl with delay_s=0.05 and
+    burst=2 must take at least the token-bucket wait of its hottest
+    host (the reference budget semantics, settings.py:32-38)."""
+    import time
+    out_c = "/tmp/spider_ray_test/polite"
+    shutil.rmtree(out_c, ignore_errors=True)
+    # expected floor: hottest host's URL count beyond burst, at 20 tokens/s
+    from __spider_ray.stages import expand
+    fr = expand.frontier_dataset(SF_SMALL, 1).to_pandas()
+    uniq = fr.drop_duplicates("url")
+    hottest = uniq.groupby("host").size().max()
+    floor = (hottest - 2) * 0.05
+    t0 = time.monotonic()
+    epoch.run_crawl(SF_SMALL, out_c, resume=False, n_seen_shards=2,
+                    fetch_concurrency=2, max_depth=0, n_days=1, delay_s=0.05,
+                    burst=2)
+    elapsed = time.monotonic() - t0
+    assert elapsed >= floor * 0.8, (elapsed, floor)
