@@ -1,0 +1,121 @@
+"""Distributed hash join — the both-sides-large join the reference
+never needed (its only joins were broadcast dims, SURVEY.md §2.4) but a
+complete engine must have.
+
+Portable Ray Data pattern: add ``bucket = hash(key) % B`` to BOTH
+sides, tag the side, union, ``groupby(bucket)`` and join matching
+buckets pairwise inside the group with a vectorized sorted merge
+(np.searchsorted over the composite key) — an explicit partitioned hash
+join.  B should be ≥ 2× cluster cores; skewed keys can be salted into
+sub-buckets by the caller (see epoch.salt_hot_hosts for the pattern).
+
+Ray ≥2.46 also ships a native ``Dataset.join``; this implementation is
+kept explicit so the shuffle shape (one all-to-all keyed by the join
+key) is visible and controllable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .hashing import hash64
+
+_SIDE = "__join_side"
+_KEY = "__join_key"
+_BUCKET = "__join_bucket"
+
+
+def _prep(ds: ray.data.Dataset, on: list[str], side: int,
+          all_cols: list[str], types: dict[str, pa.DataType],
+          n_buckets: int) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        key = t[on[0]].cast(pa.string())
+        for c in on[1:]:
+            key = pc.binary_join_element_wise(key, t[c].cast(pa.string()), "\x1f")
+        key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+        b = (hash64(key) % np.uint64(n_buckets)).astype(np.int64)
+        cols = {_KEY: key, _BUCKET: pa.array(b),
+                _SIDE: pa.array(np.full(t.num_rows, side, dtype=np.int8))}
+        for c in all_cols:
+            cols[c] = t[c] if c in t.column_names \
+                else pa.nulls(t.num_rows, type=types[c])
+        return pa.table(cols)
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              on: list[str], how: str = "inner",
+              n_buckets: int = 64) -> ray.data.Dataset:
+    """Partitioned hash join of two Datasets on equality keys.
+
+    Output columns: join keys + left non-key columns + right non-key
+    columns (caller must ensure non-key names don't collide).
+    ``how``: 'inner' or 'left'.
+    """
+    assert how in ("inner", "left")
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = [c for c in lschema.names if c not in on]
+    rcols = [c for c in rschema.names if c not in on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    types: dict[str, pa.DataType] = {}
+    for name, typ in zip(lschema.names, lschema.types):
+        types[name] = typ
+    for name, typ in zip(rschema.names, rschema.types):
+        types[name] = typ
+    all_cols = on + lcols + rcols
+
+    lp = _prep(left, on, 0, all_cols, types, n_buckets)
+    rp = _prep(right, on, 1, all_cols, types, n_buckets)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g[_SIDE].to_numpy(zero_copy_only=False)
+        keys = np.asarray(g[_KEY].to_pylist(), dtype=object)
+        l_idx = np.nonzero(side == 0)[0]
+        r_idx = np.nonzero(side == 1)[0]
+        lk, rk = keys[l_idx], keys[r_idx]
+        r_order = np.argsort(rk, kind="stable")
+        rk_sorted = rk[r_order]
+        lo = np.searchsorted(rk_sorted, lk, side="left")
+        hi = np.searchsorted(rk_sorted, lk, side="right")
+        counts = hi - lo
+        matched = counts > 0
+        # expand left rows by their match counts (vectorized repeat)
+        if how == "inner":
+            l_sel = l_idx[matched]
+            reps = counts[matched]
+            los = lo[matched]
+        else:                                      # left join: keep misses
+            l_sel = l_idx
+            reps = np.maximum(counts, 1)
+            los = lo
+        l_rep = np.repeat(l_sel, reps)
+        # right positions: for each left row, a run lo..lo+count
+        run_starts = np.repeat(los, reps)
+        within = np.arange(len(run_starts)) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        r_pos = run_starts + within
+        has_match = np.repeat(counts[matched] if how == "inner" else counts,
+                              reps) > 0
+        r_rows = np.full(len(r_pos), -1, dtype=np.int64)
+        ok = has_match
+        r_rows[ok] = r_idx[r_order[r_pos[ok]]]
+
+        out: dict[str, pa.Array] = {}
+        lt = g.take(pa.array(l_rep))
+        for c in on + lcols:
+            out[c] = lt[c]
+        rt_idx = pa.array([int(x) if x >= 0 else None for x in r_rows],
+                          pa.int64())
+        for c in rcols:
+            out[c] = pc.take(g[c].combine_chunks(), rt_idx)
+        return pa.table(out)
+
+    return (lp.union(rp)
+              .groupby(_BUCKET)
+              .map_groups(join_bucket, batch_format="pyarrow"))

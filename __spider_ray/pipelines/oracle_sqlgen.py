@@ -157,7 +157,7 @@ cabins_raw AS (
   WHERE c.cabin_idx < 2 + {_hx("md5(detail_url)", 0, 1)} % 4
 ),
 cabins AS (
-  SELECT detail_url, plane_no, off_date, cabin_idx,
+  SELECT detail_url, host, plane_no, off_date, cabin_idx,
     CASE WHEN {_hx('hc', 0, 1)} < 6 THEN '00000' ELSE '1' || substr(hc, 2, 4) END AS "ruleId",
     CASE {_hx('hc', 5, 1)} % 4 WHEN 0 THEN '' WHEN 1 THEN '限时特惠'
          WHEN 2 THEN '婴儿不可预订' WHEN 3 THEN '会员专享' END AS "limitLabel",
@@ -172,7 +172,7 @@ cabins AS (
 
 FARES_CTE = """
 fares AS (
-  SELECT plane_no, off_date,
+  SELECT host, plane_no, off_date,
     CASE WHEN lep = '' THEN CAST(lrp AS BIGINT)
          ELSE CAST(lep AS BIGINT) END AS lep_price,
     ml AS is_meal, baggage,

@@ -159,6 +159,27 @@ def _crawl_lowest_fare(sf_dir: str):
     return crawl.lowest_fares(sf_dir)
 
 
+def _crawl_flights_full(sf_dir: str):
+    """The complete yl-style record: list-page records ⋈ depth-1 lowest
+    fares via the explicit partitioned hash join (functions/joins.py) —
+    the both-sides-large join keyed (host, plane_no, off_date)."""
+    from ..functions.joins import hash_join
+    recs = crawl.flight_records(sf_dir)
+
+    def lproj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": t["host"], "plane_no": t["plane_no"],
+            "off_date": t["off_date"], "doc_id": t["doc_id"],
+            "flight_idx": t["flight_idx"].cast(pa.int64()),
+            "company": t["company"], "price": t["price"],
+            "discount": t["discount"], "flight_type": t["flight_type"],
+        })
+    left = recs.map_batches(lproj, batch_format="pyarrow")
+    right = crawl.lowest_fares(sf_dir)
+    return hash_join(left, right, on=["host", "plane_no", "off_date"],
+                     how="inner")
+
+
 def _crawl_flights_enriched(sf_dir: str):
     """J1 broadcast dim join: flight records with airport names filled
     from the driver-side dim dict (stages/enrich.py)."""
@@ -225,10 +246,16 @@ _CRAWL_SQL = {
                          "SELECT url, CAST(status AS BIGINT) AS status, "
                          "CASE WHEN error IS NOT NULL THEN error ELSE CAST(status AS VARCHAR) END AS failure_kind "
                          "FROM fetched WHERE error IS NOT NULL OR status NOT IN (200, 201)",
-    "crawl_cabins": f'{osql.CRAWL_DETAIL} SELECT detail_url, plane_no, off_date, '
+    "crawl_cabins": f'{osql.CRAWL_DETAIL} SELECT detail_url, host, plane_no, off_date, '
                     'cabin_idx, "ruleId", "limitLabel", "clientTicketPrice", '
                     'lep, lrp, ml, baggage FROM cabins',
     "crawl_lowest_fare": f"{osql.CRAWL_FARES} SELECT * FROM fares",
+    "crawl_flights_full": f"{osql.CRAWL_FARES} "
+                          "SELECT r.host, r.plane_no, r.off_date, r.doc_id, "
+                          "r.flight_idx, r.company, r.price, r.discount, "
+                          "r.flight_type, f.lep_price, f.is_meal, f.baggage, "
+                          "f.min_cabin_price "
+                          "FROM records r JOIN fares f USING (host, plane_no, off_date)",
 }
 
 
@@ -272,6 +299,7 @@ JOIN apdim a2 ON r.to_city_code = a2.ap_code"""
     register("media_meta", _media_meta, media_sql)
     register("crawl_cabins", _crawl_cabins, _CRAWL_SQL["crawl_cabins"])
     register("crawl_lowest_fare", _crawl_lowest_fare, _CRAWL_SQL["crawl_lowest_fare"])
+    register("crawl_flights_full", _crawl_flights_full, _CRAWL_SQL["crawl_flights_full"])
     register("crawl_documents", _crawl_documents, None)
 
     from . import relational  # noqa: F401  (registers TPC-H-ish operators)

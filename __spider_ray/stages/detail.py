@@ -91,6 +91,7 @@ def parse_cabins_batch(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "detail_url": pc.take(batch["url"].combine_chunks(), idx),
+            "host": pc.take(batch["host"].combine_chunks(), idx),
             "plane_no": pc.take(batch["plane_no"].combine_chunks(), idx),
             "off_date": pc.take(batch["off_date"].combine_chunks(), idx),
             "cabin_idx": jf("cabin_idx", pa.int32()),
@@ -125,7 +126,8 @@ def lowest_fare_batch(t: pa.Table) -> pa.Table:
     m = eligible_mask(t)
     e = t.filter(m)
     if e.num_rows == 0:
-        return pa.table({"plane_no": pa.array([], pa.string()),
+        return pa.table({"host": pa.array([], pa.string()),
+                         "plane_no": pa.array([], pa.string()),
                          "off_date": pa.array([], pa.string()),
                          "lep_price": pa.array([], pa.int64()),
                          "is_meal": pa.array([], pa.string()),
@@ -146,6 +148,7 @@ def lowest_fare_batch(t: pa.Table) -> pa.Table:
                          type=pa.int64())
     return pa.table(
         {
+            "host": w["host"],
             "plane_no": w["plane_no"],
             "off_date": w["off_date"],
             "lep_price": lep_price,

@@ -47,7 +47,7 @@ def test_detail_fares_schema_and_semantics():
     fares = ray.data.read_parquet(os.path.join(OUT, "fares/epoch=1")).to_pandas()
     fares = fares.drop(columns=[c for c in ("epoch", "chunk")
                                 if c in fares.columns])
-    assert set(fares.columns) == {"plane_no", "off_date", "lep_price",
+    assert set(fares.columns) == {"host", "plane_no", "off_date", "lep_price",
                                   "is_meal", "baggage", "min_cabin_price"}
     assert (fares["lep_price"] > 0).all()
     # spot-check one flight against the pure derivation

@@ -1,0 +1,55 @@
+"""Distributed hash join vs pandas merge oracle (dups, misses, multi-key)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from __spider_ray.functions.joins import hash_join
+
+rng = np.random.RandomState(7)
+
+
+def _mk(n, keyspace, side):
+    return pd.DataFrame({
+        "k1": rng.randint(0, keyspace, n).astype(str),
+        "k2": rng.randint(0, 3, n).astype(str),
+        f"v_{side}": rng.randint(0, 1000, n),
+    })
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).astype(object)
+    for c in df.columns:
+        df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _check(how):
+    l = _mk(500, 40, "l")
+    r = _mk(300, 40, "r")
+    got = hash_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                    on=["k1", "k2"], how=how, n_buckets=8).to_pandas()
+    want = l.merge(r, on=["k1", "k2"], how=how)
+    if how == "left":
+        want["v_r"] = want["v_r"].astype("object").where(want["v_r"].notna(), "None")
+        got["v_r"] = got["v_r"].astype("object").where(got["v_r"].notna(), "None")
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_hash_join_inner():
+    _check("inner")
+
+
+def test_hash_join_left():
+    _check("left")
+
+
+def test_hash_join_rejects_collisions():
+    import pytest
+    l = ray.data.from_pandas(pd.DataFrame({"k": ["a"], "v": [1]}))
+    r = ray.data.from_pandas(pd.DataFrame({"k": ["a"], "v": [2]}))
+    with pytest.raises(ValueError, match="collision"):
+        hash_join(l, r, on=["k"])
