@@ -425,6 +425,32 @@ FROM events
 """
 
 
+def q_events_sample(sf_dir: str):
+    """O3 — deterministic hash sampling (the replay-stable replacement
+    for random_sample): keep ~10% of events by md5(event_id) bucket,
+    reproducible in SQL."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import hashlib
+        ids = t["event_id"].to_pylist()
+        keep = pa.array([int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+                         % 100 < 10 for i in ids])
+        t = t.filter(keep)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "value_cents": _cents(t["value"])})
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_EVENTS_SAMPLE = """
+SELECT event_id, event_type,
+  CAST(round(value*100) AS BIGINT) AS value_cents
+FROM events
+WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 10
+"""
+
+
 # -------------------------------------------------------------- registration
 register("rel_pricing_summary", q_pricing_summary, SQL_PRICING)
 register("rel_top_orders", q_top_orders, SQL_TOP_ORDERS)
@@ -439,3 +465,4 @@ register("rel_events_sessions", q_events_sessions, SQL_EVENTS_SESSIONS)
 register("rel_events_argmax", q_events_argmax, SQL_EVENTS_ARGMAX)
 register("rel_orders_cumulative", q_orders_cumulative, SQL_ORDERS_CUMULATIVE)
 register("rel_events_scalar", q_events_scalar, SQL_EVENTS_SCALAR)
+register("rel_events_sample", q_events_sample, SQL_EVENTS_SAMPLE)
