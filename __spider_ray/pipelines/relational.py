@@ -250,13 +250,13 @@ SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
 BIG_ORDER_CENTS = 30_000_000   # $300k — keeps both join results non-empty
 
 
-def _order_custkeys(sf_dir: str) -> set[int]:
-    """Customers holding at least one order over $300k (restricting the
-    key set keeps the anti-join non-empty at every sf)."""
+def _order_custkeys(sf_dir: str, min_cents: int = BIG_ORDER_CENTS) -> set[int]:
+    """Customers holding at least one order over the threshold
+    (restricting the key set keeps anti-joins non-empty at every sf)."""
     t = pq.read_table(f"{sf_dir}/orders.parquet",
                       columns=["o_custkey", "o_totalprice"])
     cents = pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64())
-    t = t.filter(pc.greater(cents, BIG_ORDER_CENTS))
+    t = t.filter(pc.greater(cents, min_cents))
     return set(t["o_custkey"].to_pylist())
 
 
@@ -425,6 +425,61 @@ FROM events
 """
 
 
+def q_segment_union_except(sf_dir: str):
+    """§2.7 set ops: (BUILDING ∪ AUTOMOBILE customers) EXCEPT
+    very-big-order holders ($450k+ so the set is non-empty at every
+    sf) — union via ds.union + hash-bucket distinct, except via
+    broadcast anti-join."""
+    from ..functions.hashing import hash64
+    keys = _order_custkeys(sf_dir, min_cents=45_000_000)
+    kset = pa.array(sorted(keys), pa.int64())
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def seg(label):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["c_mktsegment"], label))
+            return pa.table({"c_custkey": t["c_custkey"], "c_name": t["c_name"]})
+        return f
+
+    u = (ds.map_batches(seg("BUILDING"), batch_format="pyarrow")
+           .union(ds.map_batches(seg("AUTOMOBILE"), batch_format="pyarrow")))
+
+    from ..functions.hashing import hash64_ints
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["c_custkey"].to_numpy().astype(np.uint64))
+             % np.uint64(16)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def distinct_then_except(g: pa.Table) -> pa.Table:
+        ids = g["c_custkey"].to_numpy()
+        names = np.asarray(g["c_name"].to_pylist(), dtype=object)
+        order = np.argsort(ids, kind="stable")
+        ids, names = ids[order], names[order]
+        first = np.empty(len(ids), dtype=bool)
+        if len(first):
+            first[0] = True
+            first[1:] = ids[1:] != ids[:-1]
+        t = pa.table({"c_custkey": pa.array(ids[first]),
+                      "c_name": pa.array(names[first], pa.string())})
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=kset)))
+
+    return (u.map_batches(bucketize, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(lambda g: distinct_then_except(g.drop_columns(["bucket"])),
+                         batch_format="pyarrow"))
+
+
+SQL_SEGMENT_UNION_EXCEPT = f"""
+SELECT c_custkey, c_name FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+EXCEPT
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE CAST(round(o_totalprice*100) AS BIGINT) > 45000000)
+"""
+
+
 def q_events_sample(sf_dir: str):
     """O3 — deterministic hash sampling (the replay-stable replacement
     for random_sample): keep ~10% of events by md5(event_id) bucket,
@@ -466,3 +521,4 @@ register("rel_events_argmax", q_events_argmax, SQL_EVENTS_ARGMAX)
 register("rel_orders_cumulative", q_orders_cumulative, SQL_ORDERS_CUMULATIVE)
 register("rel_events_scalar", q_events_scalar, SQL_EVENTS_SCALAR)
 register("rel_events_sample", q_events_sample, SQL_EVENTS_SAMPLE)
+register("rel_segment_union_except", q_segment_union_except, SQL_SEGMENT_UNION_EXCEPT)
