@@ -217,9 +217,6 @@ def _media_meta(sf_dir: str):
     return decoded.map_batches(media.resize_plan_batch, batch_format="pyarrow")
 
 
-_MEDIA_SQL = None  # composed in _ensure_builtin (needs CRAWL_SPANS)
-
-
 def _crawl_documents(sf_dir: str):
     """Nested span docs (rows-only check; values verified via
     crawl_spans' flat projection and pytest span-sequence tests)."""

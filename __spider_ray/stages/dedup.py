@@ -94,15 +94,6 @@ def bands_batch(t: pa.Table) -> pa.Table:
     })
 
 
-def pairs_from_bucket(g: pa.Table) -> pa.Table:
-    """One LSH bucket → all unordered candidate pairs (a < b)."""
-    ids = np.unique(g["doc_id"].to_numpy())
-    if len(ids) < 2:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    ai, bi = np.triu_indices(len(ids), k=1)
-    return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
-
-
 def pairs_from_hash_bucket(g: pa.Table,
                            key_cols: tuple[str, str]) -> pa.Table:
     """Hash-bucket flavor: the group holds MANY (key) LSH buckets.  One
@@ -372,25 +363,6 @@ def simhash_bands_batch(t: pa.Table) -> pa.Table:
         "doc_id": pa.array(np.repeat(t["doc_id"].to_numpy(), 4)),
         "simhash": pa.array(np.repeat(sig.astype(np.int64), 4)),
     })
-
-
-def simhash_pairs_from_bucket(g: pa.Table) -> pa.Table:
-    ids = g["doc_id"].to_numpy()
-    sigs = g["simhash"].to_numpy().astype(np.uint64)
-    order = np.argsort(ids)
-    ids, sigs = ids[order], sigs[order]
-    uniq, first = np.unique(ids, return_index=True)
-    ids, sigs = uniq, sigs[first]
-    if len(ids) < 2:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "hamming": pa.array([], pa.int64())})
-    ai, bi = np.triu_indices(len(ids), k=1)
-    x = sigs[ai] ^ sigs[bi]
-    ham = np.zeros(len(x), dtype=np.int64)
-    for s in range(64):                         # popcount via shifts (vector)
-        ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
-    return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi]),
-                     "hamming": pa.array(ham)})
 
 
 def _simhash_pairs_hash_bucket(g: pa.Table) -> pa.Table:

@@ -23,8 +23,6 @@ SQL-checked correctness queries; ``FetchWorker`` wraps it with state.
 
 from __future__ import annotations
 
-import time
-
 import numpy as np
 import pyarrow as pa
 
@@ -34,7 +32,7 @@ from ..functions.hashing import uniform01
 FETCH_COLS = ("status", "error", "fetch_ts", "elapsed_ms", "body")
 
 
-def fetch_batch(batch: pa.Table, simulate_latency: bool = False) -> pa.Table:
+def fetch_batch(batch: pa.Table) -> pa.Table:
     """frontier batch → batch + (status, error, fetch_ts, elapsed_ms, body).
 
     Passes every frontier column through so parse can use meta without a
@@ -51,9 +49,6 @@ def fetch_batch(batch: pa.Table, simulate_latency: bool = False) -> pa.Table:
         errors[i] = err
         bodies[i] = synth.page_body(u)
     elapsed = (uniform01(batch["url"].combine_chunks(), salt="elapsed") * 2000 + 50).astype(np.int32)
-    if simulate_latency:
-        # bench mode: a tiny spin to model network+parse latency shape
-        time.sleep(0.0)
     fetch_ts = pa.array(
         np.full(len(urls), np.datetime64(synth.CREATE_TIME_STR.replace(" ", "T"), "us")))
     out = batch
