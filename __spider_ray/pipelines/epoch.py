@@ -299,6 +299,8 @@ def run_crawl(
                 n_docs = ray.data.read_parquet(docs_dir).count()
                 totals["records"] += n_rec
                 totals["docs"] += n_docs
+                # the chunk marker below is the commit manifest: rows +
+                # lineage + filter snapshot (A3 invariant carrier)
                 metrics = {"records": n_rec, "docs": n_docs, "totals": dict(totals)}
             else:
                 fares_dir = os.path.join(
