@@ -30,7 +30,7 @@ N_DAYS = int(os.environ.get("GRAFT_CRAWL_DAYS", "15"))
 def run_bench() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -172,7 +172,11 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
-    else:
-        print(json.dumps(run_bench()))
+    # Ray's log monitor can asynchronously write raylet warnings to the
+    # process stdout; route everything during the run to stderr so the
+    # contract — exactly ONE JSON line on stdout — holds.
+    import contextlib
+    real_stdout = sys.stdout
+    with contextlib.redirect_stdout(sys.stderr):
+        result = run_scaling() if "--scaling" in sys.argv else run_bench()
+    print(json.dumps(result), file=real_stdout)
