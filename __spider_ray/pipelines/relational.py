@@ -506,6 +506,72 @@ WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 10
 """
 
 
+def q_nation_revenue(sf_dir: str):
+    """Q5-style rollup exercising the partitioned hash join on the two
+    LARGE tables (lineitem ⋈ orders on orderkey), then a broadcast
+    customer→nation hop and an integer-cents rollup per nation."""
+    from ..functions.joins import hash_join
+    Y0, Y1 = "1996-01-01", "1997-01-01"
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def lprep(t: pa.Table) -> pa.Table:
+        rev = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            10000.0)).cast(pa.int64())
+        return pa.table({"o_orderkey": t["l_orderkey"], "revenue_cents": rev})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def oprep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"],
+                                     pa.scalar(np.datetime64(Y0, "us"))),
+                    pc.less(t["o_orderdate"], pa.scalar(np.datetime64(Y1, "us"))))
+        t = t.filter(m)
+        return pa.table({"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]})
+
+    joined = hash_join(li.map_batches(lprep, batch_format="pyarrow"),
+                       orders.map_batches(oprep, batch_format="pyarrow"),
+                       on=["o_orderkey"], how="inner")
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    n2name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+    c2n = {c: n2name[k] for c, k in zip(cust["c_custkey"].to_pylist(),
+                                        cust["c_nationkey"].to_pylist())}
+
+    def to_nation(t: pa.Table) -> pa.Table:
+        names = pa.array([c2n[int(c)] for c in t["o_custkey"].to_numpy()],
+                         pa.string())
+        g = pa.table({"n_name": names, "revenue_cents": t["revenue_cents"]}) \
+              .group_by("n_name").aggregate([("revenue_cents", "sum"),
+                                             ("revenue_cents", "count")])
+        return g.rename_columns(["n_name", "revenue_cents", "n_items"])
+
+    from ray.data.aggregate import Sum
+    return (joined.map_batches(to_nation, batch_format="pyarrow")
+                  .groupby("n_name")
+                  .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                             Sum("n_items", alias_name="n_items")))
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
 # -------------------------------------------------------------- registration
 register("rel_pricing_summary", q_pricing_summary, SQL_PRICING)
 register("rel_top_orders", q_top_orders, SQL_TOP_ORDERS)
@@ -522,3 +588,4 @@ register("rel_orders_cumulative", q_orders_cumulative, SQL_ORDERS_CUMULATIVE)
 register("rel_events_scalar", q_events_scalar, SQL_EVENTS_SCALAR)
 register("rel_events_sample", q_events_sample, SQL_EVENTS_SAMPLE)
 register("rel_segment_union_except", q_segment_union_except, SQL_SEGMENT_UNION_EXCEPT)
+register("rel_nation_revenue", q_nation_revenue, SQL_NATION_REVENUE)
