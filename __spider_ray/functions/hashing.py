@@ -35,8 +35,11 @@ def _string_array_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarr
         arr = arr.combine_chunks()
     arr = arr.cast(pa.large_string())
     buf_offsets, buf_data = arr.buffers()[1], arr.buffers()[2]
-    offsets = np.frombuffer(buf_offsets, dtype=np.int64, count=len(arr) + 1)
-    offsets = offsets + arr.offset if arr.offset else offsets
+    # A sliced array's offsets buffer still starts at element 0 of the
+    # parent: skip arr.offset ENTRIES (the stored byte offsets are already
+    # absolute into the data buffer — do not add arr.offset to them).
+    offsets = np.frombuffer(buf_offsets, dtype=np.int64, count=len(arr) + 1,
+                            offset=arr.offset * 8)
     data = np.frombuffer(buf_data, dtype=np.uint8) if buf_data is not None else np.empty(0, np.uint8)
     return data, offsets[:-1], offsets[1:]
 

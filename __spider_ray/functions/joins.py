@@ -75,23 +75,37 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     def join_bucket(g: pa.Table) -> pa.Table:
         side = g[_SIDE].to_numpy(zero_copy_only=False)
-        keys = np.asarray(g[_KEY].to_pylist(), dtype=object)
-        l_idx = np.nonzero(side == 0)[0]
-        r_idx = np.nonzero(side == 1)[0]
-        lk, rk = keys[l_idx], keys[r_idx]
+        key_col = g[_KEY]
+        if isinstance(key_col, pa.ChunkedArray):
+            key_col = key_col.combine_chunks()
+        # SQL semantics: a null key matches nothing.  Dictionary-encode
+        # keys to int codes (equality-preserving) so the sort/merge stays
+        # in NumPy ints — no Python-object argsort, and no None-vs-str
+        # TypeError on nullable key columns.
+        null_mask = pc.is_null(key_col).to_numpy(zero_copy_only=False)
+        codes = key_col.dictionary_encode().indices.fill_null(-1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        l_idx = np.nonzero((side == 0) & ~null_mask)[0]
+        r_idx = np.nonzero((side == 1) & ~null_mask)[0]
+        lk, rk = codes[l_idx], codes[r_idx]
         r_order = np.argsort(rk, kind="stable")
         rk_sorted = rk[r_order]
         lo = np.searchsorted(rk_sorted, lk, side="left")
         hi = np.searchsorted(rk_sorted, lk, side="right")
         counts = hi - lo
-        matched = counts > 0
         # expand left rows by their match counts (vectorized repeat)
         if how == "inner":
+            matched = counts > 0
             l_sel = l_idx[matched]
             reps = counts[matched]
             los = lo[matched]
-        else:                                      # left join: keep misses
-            l_sel = l_idx
+            counts = counts[matched]
+        else:              # left join: keep misses + null-key rows unmatched
+            null_l = np.nonzero((side == 0) & null_mask)[0]
+            l_sel = np.concatenate([l_idx, null_l])
+            counts = np.concatenate(
+                [counts, np.zeros(len(null_l), dtype=counts.dtype)])
+            lo = np.concatenate([lo, np.zeros(len(null_l), dtype=lo.dtype)])
             reps = np.maximum(counts, 1)
             los = lo
         l_rep = np.repeat(l_sel, reps)
@@ -100,18 +114,16 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
         within = np.arange(len(run_starts)) - np.repeat(
             np.cumsum(reps) - reps, reps)
         r_pos = run_starts + within
-        has_match = np.repeat(counts[matched] if how == "inner" else counts,
-                              reps) > 0
+        has_match = np.repeat(counts, reps) > 0
         r_rows = np.full(len(r_pos), -1, dtype=np.int64)
-        ok = has_match
-        r_rows[ok] = r_idx[r_order[r_pos[ok]]]
+        r_rows[has_match] = r_idx[r_order[r_pos[has_match]]]
 
         out: dict[str, pa.Array] = {}
         lt = g.take(pa.array(l_rep))
         for c in on + lcols:
             out[c] = lt[c]
-        rt_idx = pa.array([int(x) if x >= 0 else None for x in r_rows],
-                          pa.int64())
+        rt_idx = pa.array(np.where(r_rows >= 0, r_rows, 0), pa.int64(),
+                          mask=r_rows < 0)
         for c in rcols:
             out[c] = pc.take(g[c].combine_chunks(), rt_idx)
         return pa.table(out)

@@ -105,23 +105,39 @@ def salt_hot_hosts(frontier: "ray.data.Dataset", hot_fraction: float = 0.05,
     Cost: one tiny aggregate over host counts (rows = distinct hosts)
     + one map_batches — no extra all-to-all.
     """
+    from ray.data.aggregate import Count, Max
+
     from ..functions.hashing import hash64
-    counts = frontier.groupby("host").count().to_pandas()
-    total = int(counts["count()"].sum())
-    hot = set(counts[counts["count()"] > total * hot_fraction]["host"])
+    agg = frontier.groupby("host").aggregate(Count(), Max("priority")).to_pandas()
+    total = int(agg["count()"].sum())
+    hot = set(agg[agg["count()"] > total * hot_fraction]["host"])
     if not hot:
         return frontier
     hot_arr = pa.array(sorted(hot), pa.string())
+    # The salt must sit strictly ABOVE every priority bit or carries
+    # corrupt it (priority = seed_index*N_DAYS + day exceeds any fixed
+    # bit position at large scale factors) — so measure the actual
+    # priority range (free: same aggregate as the hot-host counts) and
+    # rebuild the key as host_hash | salt | priority with exact widths.
+    max_prio = float(agg["max(priority)"].max())
+    prio_bits = max(1, int(np.ceil(np.log2(max_prio + 2))))
+    if prio_bits + salt_bits > 52:        # keep within int64 with host bits
+        salt_bits = max(1, 52 - prio_bits)
+    host_shift = np.uint64(prio_bits + salt_bits)
+    host_keep = np.uint64(63) - host_shift   # top host-hash bits that fit
 
     def salt(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        is_hot = pc.is_in(t["host"], value_set=hot_arr)
+        is_hot = np.asarray(
+            pc.is_in(t["host"], value_set=hot_arr).to_numpy(zero_copy_only=False),
+            dtype=bool)
         s = (hash64(t["url"].combine_chunks(), seed=13)
              % np.uint64(1 << salt_bits)).astype(np.int64)
-        key = t["sort_key"].to_numpy()
-        salted = key + np.where(
-            np.asarray(is_hot.to_numpy(zero_copy_only=False), dtype=bool),
-            s << 28, 0)                      # above priority (<2^28), below host hash
+        host_part = (hash64(t["host"].combine_chunks())
+                     >> (np.uint64(64) - host_keep)).astype(np.int64)
+        prio = t["priority"].to_numpy().astype(np.int64)
+        salted = (host_part << np.int64(host_shift)) \
+            + np.where(is_hot, s, 0) * np.int64(1 << prio_bits) + prio
         return t.set_column(t.schema.get_field_index("sort_key"), "sort_key",
                             pa.array(salted))
     return frontier.map_batches(salt, batch_format="pyarrow")

@@ -178,21 +178,63 @@ def lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
                                                 batch_format="pyarrow")
 
 
-def embedding_near_dups(sf_dir: str, threshold: float = 0.99) -> ray.data.Dataset:
-    """Near-duplicate vector pairs: LSH-bucket colliders verified by
-    exact cosine (pairs within buckets only)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+def near_dup_band_bits(n_rows: int, target_bucket: int = 32) -> int:
+    """Bits per band scaled to the corpus so expected bucket size stays
+    ~constant: per-bucket all-pairs work is then O(n·target·bands) —
+    LINEAR in corpus size — instead of O((n/2^R)^2)·2^R quadratic."""
+    import math
+    return max(4, math.ceil(math.log2(max(2, n_rows) / target_bucket)))
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.99,
+                        n_bands: int = 4) -> ray.data.Dataset:
+    """Near-duplicate vector pairs: MinHash-style banded random-hyperplane
+    LSH (Charikar 2002) with exact-cosine verify on colliders only.
+
+    - Hyperplanes are drawn ONCE on the driver from a fresh seeded
+      RandomState and broadcast via ``ray.put`` — every batch/worker
+      buckets with the same planes (a per-batch draw silently misses
+      cross-batch pairs).
+    - ``n_bands`` independent bands of ``band_bits`` planes each; a pair
+      is a candidate if it collides in ANY band (OR-construction), then
+      verified by exact cosine inside the bucket group.  At cosine ≥0.99
+      per-bit agreement is ~0.97, so 4 bands × ~7 bits give recall
+      >0.99 while random pairs collide with prob ~n_bands/2^band_bits.
+    - ``band_bits`` grows with corpus size (``near_dup_band_bits``), so
+      expected bucket size — and per-bucket pair work — stays bounded.
+    - Cross-band duplicate pairs are collapsed by a final (a,b) groupby.
+    """
     import pyarrow.parquet as pq
+    path = f"{sf_dir}/embeddings.parquet"
+    meta = pq.read_metadata(path)
+    n_rows = meta.num_rows
+    dim = None
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    band_bits = near_dup_band_bits(n_rows)
+    rng = np.random.RandomState(7)
+    # one (n_bands*band_bits, dim) draw; dim read from the first row group
+    t0 = pq.ParquetFile(path).read_row_group(0, columns=["embedding"])
+    dim = len(t0["embedding"][0])
+    planes = rng.normal(size=(n_bands * band_bits, dim))
+    planes_ref = ray.put(planes)
 
     def bucketize(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
         ids, m = _embs(t)
         mn = _normalize(m)
-        planes = _planes(m.shape[1])
-        b = _bucket_of(mn, planes)
-        emb = t["embedding"]
-        return pa.table({"bucket": pa.array(b), "vec_id": t["vec_id"],
-                         "embedding": emb})
+        bits = (mn @ pl.T) > 0                          # (n, bands*bits)
+        n = len(ids)
+        weights = (1 << np.arange(band_bits)).astype(np.int64)
+        out = []
+        for band in range(n_bands):
+            sl = bits[:, band * band_bits:(band + 1) * band_bits]
+            bucket = (sl @ weights).astype(np.int64) + (band << 48)
+            out.append(bucket)
+        bucket_col = np.concatenate(out)
+        idx = np.tile(np.arange(n), n_bands)
+        return pa.table({"bucket": pa.array(bucket_col),
+                         "vec_id": pa.array(np.asarray(ids)[idx].astype(np.int64)),
+                         "embedding": t["embedding"].combine_chunks().take(pa.array(idx))})
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         ids, m = _embs(g.select(["vec_id", "embedding"]))
@@ -211,6 +253,11 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.99) -> ray.data.Datase
                          "cos_bp": pa.array(np.round(cos[keep] * 10000)
                                             .astype(np.int64))})
 
+    def first_pair(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
     return (ds.map_batches(bucketize, batch_format="pyarrow")
               .groupby("bucket")
-              .map_groups(bucket_pairs, batch_format="pyarrow"))
+              .map_groups(bucket_pairs, batch_format="pyarrow")
+              .groupby(["a", "b"])
+              .map_groups(first_pair, batch_format="pyarrow"))

@@ -115,7 +115,13 @@ class HostPolicyClient:
                            for _ in range(n_actors)]
 
     def _shard_of(self, host: str) -> int:
-        return hash(host) % self.n_actors
+        # Deterministic across processes: builtin hash() is per-process
+        # randomized (PYTHONHASHSEED unset in Ray workers), which would
+        # route the same host to different shards from different fetch
+        # workers — n_actors independent token buckets per host, silently
+        # breaking the global per-host rate cap.  md5 is stable everywhere.
+        import hashlib
+        return int.from_bytes(hashlib.md5(host.encode()).digest()[:8], "little") % self.n_actors
 
     def acquire_for_batch(self, hosts: pa.Array | pa.ChunkedArray) -> None:
         """Group the batch by host, request grants, sleep out the max

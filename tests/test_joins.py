@@ -47,6 +47,24 @@ def test_hash_join_left():
     _check("left")
 
 
+def test_hash_join_null_keys_sql_semantics():
+    # SQL semantics: a null key matches nothing — inner drops the row,
+    # left emits it unmatched (and never raises on the None-vs-str sort).
+    l = pd.DataFrame({"k1": ["a", None, "b", None], "k2": ["1", "1", "1", "1"],
+                      "v_l": [10, 20, 30, 40]})
+    r = pd.DataFrame({"k1": ["a", None, "c"], "k2": ["1", "1", "1"],
+                      "v_r": [100, 200, 300]})
+    inner = hash_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                      on=["k1", "k2"], how="inner", n_buckets=4).to_pandas()
+    assert inner[["k1", "v_l", "v_r"]].values.tolist() == [["a", 10, 100]]
+    left = hash_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                     on=["k1", "k2"], how="left", n_buckets=4).to_pandas()
+    assert len(left) == 4
+    matched = left[left["v_r"].notna()]
+    assert matched[["k1", "v_l", "v_r"]].values.tolist() == [["a", 10, 100.0]]
+    assert sorted(left[left["v_r"].isna()]["v_l"]) == [20, 30, 40]
+
+
 def test_hash_join_rejects_collisions():
     import pytest
     l = ray.data.from_pandas(pd.DataFrame({"k": ["a"], "v": [1]}))

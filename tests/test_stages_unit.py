@@ -38,6 +38,16 @@ def test_hash64_distribution_and_determinism():
     assert (hash64(vals, seed=1) != h1).mean() > 0.99
 
 
+def test_hash64_sliced_array_matches_unsliced():
+    """A nonzero-offset slice must hash identically to the same values in
+    a fresh array (the offsets buffer is shared with the parent)."""
+    vals = [f"url-{i}" * (i % 5 + 1) for i in range(1000)]
+    whole = pa.array(vals, type=pa.large_string())
+    sliced = whole.slice(137, 500)
+    fresh = pa.array(vals[137:637], type=pa.large_string())
+    assert (hash64(sliced) == hash64(fresh)).all()
+
+
 def test_uniform01_range():
     u = uniform01(pa.array([f"u{i}" for i in range(1000)]), salt="x")
     assert (u >= 0).all() and (u < 1).all()
