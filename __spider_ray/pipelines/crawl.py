@@ -74,6 +74,25 @@ def flight_records(sf_dir: str) -> ray.data.Dataset:
     return fetched(sf_dir).map_batches(parse.parse_batch, batch_format="pyarrow")
 
 
+def fetched_v2(sf_dir: str) -> ray.data.Dataset:
+    """v2 (listCards) crawl: same seeds, ``listcards`` URL space, the
+    double-encoded body variant (ctripSpider02 = a sibling spider over
+    the same seed list in the reference)."""
+    from .. import synth
+    ds = dedup_frontier(expand.frontier_dataset(sf_dir, path="listcards"))
+    return ds.map_batches(
+        lambda t: fetch.fetch_batch(t, status_fn=synth.page_status_v2,
+                                    body_fn=synth.page_body_v2),
+        batch_format="pyarrow")
+
+
+def flight_records_v2(sf_dir: str) -> ray.data.Dataset:
+    """M10 — the v2 parse output (crossDays/totalDuration/ticketCounts/
+    stops modeled as first-class columns)."""
+    return fetched_v2(sf_dir).map_batches(parse.parse_v2_batch,
+                                          batch_format="pyarrow")
+
+
 def documents(sf_dir: str) -> ray.data.Dataset:
     """Interleaved text+media span docs (driver input_hint table)."""
     return flight_records(sf_dir).map_batches(spans.records_to_docs,

@@ -56,13 +56,16 @@ seeds AS (
   FROM seeds_raw
 )"""
 
-FRONTIER_CTE = f"""
+def _frontier_sql(path: str) -> str:
+    """Frontier CTE parameterized by the URL path segment
+    (``flightlist`` = v1 API, ``listcards`` = v2 / ctripSpider02)."""
+    return f"""
 frontier_all AS (
   SELECT s.seed_id AS seed_index,
     CAST(d.day_offset AS BIGINT) AS day_offset,
     strftime(DATE '{synth.BASE_DATE_STR}' + CAST(d.day_offset AS INTEGER), '%Y-%m-%d') AS flight_time,
     lower(s.to_city_code) || '.flights.test' AS host,
-    'https://' || lower(s.to_city_code) || '.flights.test/flightlist/'
+    'https://' || lower(s.to_city_code) || '.flights.test/{path}/'
       || s.from_city_code || '-' || s.to_city_code || '/'
       || strftime(DATE '{synth.BASE_DATE_STR}' + CAST(d.day_offset AS INTEGER), '%Y-%m-%d')
       || '?v=' || CAST(CASE WHEN s.seed_id % 5 = 0 THEN 0 ELSE s.seed_id END AS VARCHAR) AS url,
@@ -73,6 +76,10 @@ frontier AS (
   SELECT * FROM frontier_all
   QUALIFY row_number() OVER (PARTITION BY url ORDER BY seed_index, day_offset) = 1
 )"""
+
+
+FRONTIER_CTE = _frontier_sql("flightlist")
+FRONTIER_V2_CTE = _frontier_sql("listcards")
 
 _H = "md5(url)"
 FETCH_CTE = f"""
@@ -93,6 +100,7 @@ flights AS (
   FROM fetched
   CROSS JOIN (SELECT range AS flight_idx FROM range(5)) f
   WHERE fetched.status = 200 AND f.flight_idx < fetched.n_flights
+    AND {_hx(_H2, 21, 1)} != 0
 ),
 records AS (
   SELECT url, host, doc_id, seed_index, day_offset, flight_idx,
@@ -114,13 +122,14 @@ records AS (
     flight_time AS off_date,
     '{synth.PLATFORM}' AS platform,
     CAST(200 + {_hx('h2', 11, 4)} % 1800 AS VARCHAR) AS price,
-    CASE WHEN {_hx('h2', 17, 1)} < 3 THEN '经停' ELSE '' END AS flight_type,
+    CASE WHEN {_hx('h2', 17, 1)} < 3 THEN '经停'
+         WHEN {_hx('h2', 17, 1)} < 5 THEN '联程' ELSE '直飞' END AS flight_type,
     '73' || CAST({_hx('h2', 19, 1)} % 10 AS VARCHAR) AS plane_type,
-    CASE WHEN {_hx('h2', 17, 1)} < 3
+    CASE WHEN {_hx('h2', 17, 1)} < 5
          THEN {_case_list(_hx('h2', 18, 1), synth.TRANSFER_CITIES)} ELSE '' END AS flight_transfer,
     '' AS from_city_airport, '' AS to_city_airport,
     '{synth.TASK_TIME}' AS task_time, '{synth.SERVER_IP}' AS server_ip,
-    CAST(n_flights AS BIGINT) AS flight_number,
+    CAST(COUNT(*) OVER (PARTITION BY url) AS BIGINT) AS flight_number,
     CAST(NULL AS BIGINT) AS lep_price,
     CAST(NULL AS VARCHAR) AS is_meal,
     CAST(NULL AS BIGINT) AS baggage
@@ -139,6 +148,59 @@ spans AS (
   FROM records
   CROSS JOIN (SELECT range AS slot FROM range(7)) s
   WHERE s.slot < 6 OR (s.slot = 6 AND records.media_ref IS NOT NULL)
+)"""
+
+
+# ------------------------------------------------------- Ctrip v2 (listCards)
+FETCH_V2_CTE = f"""
+fetched AS (
+  SELECT *,
+    CASE {_hx(_H, 0, 1)} WHEN 0 THEN 0 WHEN 1 THEN 403 WHEN 2 THEN 500 ELSE 200 END AS status,
+    CASE WHEN {_hx(_H, 0, 1)} = 0 THEN 'timeout' ELSE NULL END AS error,
+    CASE WHEN {_hx(_H, 0, 1)} >= 3 THEN {_hx(_H, 1, 1)} % 6 ELSE 0 END AS n_flights
+  FROM frontier
+)"""
+
+_DEP_MIN = f"(({_hx('h2', 5, 2)} % 24) * 60 + ({_hx('h2', 7, 2)} % 12) * 5)"
+_DUR_V2 = f"(90 + {_hx('h2', 9, 2)} % 600)"
+_END_RAW = f"({_DEP_MIN} + {_DUR_V2})"
+FLIGHTS_V2_CTE = f"""
+flights AS (
+  SELECT fetched.*, CAST(f.flight_idx AS BIGINT) AS flight_idx,
+    'doc-' || md5(url) AS doc_id,
+    {_H2} AS h2
+  FROM fetched
+  CROSS JOIN (SELECT range AS flight_idx FROM range(6)) f
+  WHERE fetched.status = 200 AND f.flight_idx < fetched.n_flights
+),
+records_v2 AS (
+  SELECT url, host, doc_id, seed_index, day_offset, flight_idx,
+    {_case_list(f"{_hx('h2', 0, 1)} % 6", _COMPANY_NAMES)} AS company,
+    {_case_list(f"{_hx('h2', 0, 1)} % 6", _COMPANY_CODES)} AS company_no,
+    {_case_list(f"{_hx('h2', 0, 1)} % 6", _COMPANY_CODES)}
+      || CAST(1000 + {_hx('h2', 1, 4)} % 9000 AS VARCHAR) AS plane_no,
+    printf('%02d:%02d', {_hx('h2', 5, 2)} % 24, ({_hx('h2', 7, 2)} % 12) * 5) AS start_time,
+    printf('%02d:%02d', ({_END_RAW} % 1440) // 60, {_END_RAW} % 60) AS end_time,
+    CAST({_END_RAW} // 1440 AS BIGINT) AS cross_days,
+    CAST({_DUR_V2} AS BIGINT) AS total_duration,
+    CAST(1 + {_hx('h2', 20, 1)} % 9 AS BIGINT) AS ticket_counts,
+    CASE WHEN {_hx('h2', 17, 1)} < 4
+         THEN CAST(30 + {_hx('h2', 19, 1)} * 10 AS VARCHAR) ELSE '' END AS stop_times,
+    from_city_code || '城' AS from_city, from_city_code,
+    from_city_code || '机场' AS from_city_airport,
+    to_city_code || '城' AS to_city, to_city_code,
+    to_city_code || '机场' AS to_city_airport,
+    TIMESTAMP '{synth.CREATE_TIME_STR}' AS create_time,
+    printf('%.1f', (20 + {_hx('h2', 15, 2)} % 80) / 10.0) AS discount,
+    flight_time AS off_date,
+    '{synth.PLATFORM}' AS platform,
+    CAST(300 + {_hx('h2', 11, 4)} % 2000 AS VARCHAR) AS price,
+    CASE WHEN {_hx('h2', 17, 1)} < 4 THEN '经停' ELSE '' END AS flight_type,
+    CASE WHEN {_hx('h2', 17, 1)} < 4
+         THEN {_case_list(_hx('h2', 18, 1), synth.TRANSFER_CITIES)} ELSE '' END AS flight_transfer,
+    '32' || CAST({_hx('h2', 22, 1)} % 10 AS VARCHAR) AS plane_type,
+    CAST(flight_idx + 1 AS BIGINT) AS flight_number
+  FROM flights
 )"""
 
 
@@ -194,3 +256,4 @@ CRAWL_SPANS = with_chain(SEEDS_CTE, FRONTIER_CTE, FETCH_CTE, FLIGHTS_CTE, SPANS_
 CRAWL_DETAIL = with_chain(SEEDS_CTE, FRONTIER_CTE, FETCH_CTE, FLIGHTS_CTE, DETAIL_CTE)
 CRAWL_FARES = with_chain(SEEDS_CTE, FRONTIER_CTE, FETCH_CTE, FLIGHTS_CTE,
                          DETAIL_CTE, FARES_CTE)
+CRAWL_V2 = with_chain(SEEDS_CTE, FRONTIER_V2_CTE, FETCH_V2_CTE, FLIGHTS_V2_CTE)

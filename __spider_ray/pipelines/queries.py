@@ -85,6 +85,13 @@ def _crawl_flights(sf_dir: str):
     return ds
 
 
+def _crawl_flights_v2(sf_dir: str):
+    """M10 — the Ctrip v2 (listCards) crawl: double-decoded body,
+    cityMessage split, crossDays/totalDuration/ticketCounts/stopTimes
+    columns (ctripSpider02.py:272-317)."""
+    return crawl.flight_records_v2(sf_dir)
+
+
 def _crawl_spans(sf_dir: str):
     ds = crawl.exploded_spans(sf_dir)
     return _cast_int64(ds, ["offset"])
@@ -229,6 +236,7 @@ _CRAWL_SQL = {
                       "SELECT url, host, seed_index, day_offset, flight_time FROM frontier",
     "crawl_fetch": f"{osql.CRAWL_BASE} SELECT url, CAST(status AS BIGINT) AS status, error FROM fetched",
     "crawl_flights": f"{osql.CRAWL_FULL} SELECT * FROM records",
+    "crawl_flights_v2": f"{osql.CRAWL_V2} SELECT * FROM records_v2",
     "crawl_spans": f"{osql.CRAWL_SPANS} SELECT * FROM spans",
     "crawl_od_counts": f"{osql.CRAWL_FULL} "
                        "SELECT from_city_code, to_city_code, off_date, "
@@ -263,6 +271,7 @@ def _ensure_builtin() -> None:
     register("crawl_frontier", _crawl_frontier, _CRAWL_SQL["crawl_frontier"])
     register("crawl_fetch", _crawl_fetch, _CRAWL_SQL["crawl_fetch"])
     register("crawl_flights", _crawl_flights, _CRAWL_SQL["crawl_flights"])
+    register("crawl_flights_v2", _crawl_flights_v2, _CRAWL_SQL["crawl_flights_v2"])
     register("crawl_spans", _crawl_spans, _CRAWL_SQL["crawl_spans"])
     register("crawl_od_counts", _crawl_od_counts, _CRAWL_SQL["crawl_od_counts"])
     register("crawl_min_price", _crawl_min_price, _CRAWL_SQL["crawl_min_price"])

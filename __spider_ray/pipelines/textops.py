@@ -173,28 +173,19 @@ def q_dedup_minhash(sf_dir: str):
     tests against brute-force n-gram Jaccard.
 
     Signatures are materialized once (a few MB — doc_id + 64×u64) and
-    reused for band explosion AND pair verification, instead of
-    re-running shingle+minhash per consumer."""
+    reused for band explosion AND pair verification; the verify itself
+    is a distributed doc_id-keyed join (``verify_pairs_distributed``) —
+    the driver never holds the candidate pair set."""
     docs = corpus(sf_dir)
     sigs, pairs = dd.minhash_candidates(docs, materialize_sigs=True)
-    pairs_t = pa.Table.from_pandas(pairs.to_pandas())
-    involved = set(pairs_t["a"].to_pylist()) | set(pairs_t["b"].to_pylist())
-    sig_rows = sigs.map_batches(
-        lambda t: t.filter(pc.is_in(t["doc_id"],
-                                    value_set=pa.array(sorted(involved), pa.int64()))),
-        batch_format="pyarrow").to_pandas()
-    sig_map = {int(r.doc_id): np.array(r.sig, dtype=np.int64).astype(np.uint64)
-               for r in sig_rows.itertuples()}
-    return dd.verify_pairs_with_sigs(pairs_t, sig_map, threshold=0.7)
+    return dd.verify_pairs_distributed(pairs, sigs, threshold=0.7)
 
 
 def q_dedup_clusters(sf_dir: str):
     """Near-dup clusters: MinHash pairs → distributed connected
     components (min-label propagation).  Rows-only; exactness asserted
     vs a union-find oracle in tests."""
-    import ray.data
-    pairs_t = q_dedup_minhash(sf_dir)
-    pairs = ray.data.from_arrow(pairs_t.select(["a", "b"]))
+    pairs = q_dedup_minhash(sf_dir).select_columns(["a", "b"])
     return dd.connected_components(pairs)
 
 

@@ -186,23 +186,45 @@ def minhash_candidates(docs: ray.data.Dataset,
     return sigs, _distinct_pairs(raw)
 
 
-def verify_pairs_with_sigs(pairs: pa.Table, sig_map: dict[int, np.ndarray],
-                           threshold: float) -> pa.Table:
-    """Signature-overlap Jaccard estimate per pair; keep ≥ threshold.
-    ``sig_map`` is a broadcast dict (candidate docs only)."""
-    a = pairs["a"].to_numpy()
-    b = pairs["b"].to_numpy()
-    keep = np.zeros(len(a), dtype=bool)
-    est = np.zeros(len(a))
-    for i in range(len(a)):                   # pairs ≪ corpus; bounded loop
-        sa, sb = sig_map.get(int(a[i])), sig_map.get(int(b[i]))
-        if sa is None or sb is None:
-            continue
-        est[i] = float((sa == sb).mean())
-        keep[i] = est[i] >= threshold
-    out = pa.table({"a": pairs["a"], "b": pairs["b"],
-                    "est_jaccard_pct": pa.array((est * 100).round().astype(np.int64))})
-    return out.filter(pa.array(keep))
+def verify_pairs_distributed(pairs: ray.data.Dataset,
+                             sigs: ray.data.Dataset,
+                             threshold: float) -> ray.data.Dataset:
+    """Distributed signature verify: join candidate pairs to the
+    signature table (both keyed by doc_id) with the partitioned
+    ``hash_join`` — once per pair side — then estimate Jaccard from the
+    joined signatures batch-vectorized.
+
+    The driver never materializes the pair set or a signature dict: at
+    100 TB the LSH candidates can be billions of rows, so the verify hop
+    must be a shuffle (two doc_id-keyed joins moving 8×N_PERM bytes per
+    matched row), not a ``to_pandas()`` + broadcast map."""
+    from ..functions.joins import hash_join
+
+    sig_a = sigs.map_batches(
+        lambda t: pa.table({"a": t["doc_id"], "sig_a": t["sig"]}),
+        batch_format="pyarrow")
+    sig_b = sigs.map_batches(
+        lambda t: pa.table({"b": t["doc_id"], "sig_b": t["sig"]}),
+        batch_format="pyarrow")
+    joined = hash_join(hash_join(pairs, sig_a, on=["a"]), sig_b, on=["b"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "est_jaccard_pct": pa.array([], pa.int64())})
+        sa = np.asarray(t["sig_a"].combine_chunks().flatten()).reshape(n, N_PERM)
+        sb = np.asarray(t["sig_b"].combine_chunks().flatten()).reshape(n, N_PERM)
+        est = (sa == sb).mean(axis=1)
+        out = pa.table({
+            "a": t["a"].cast(pa.int64()),
+            "b": t["b"].cast(pa.int64()),
+            "est_jaccard_pct": pa.array(np.round(est * 100).astype(np.int64)),
+        })
+        return out.filter(pa.array(est >= threshold))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def exact_jaccard_pair(text_a: str, text_b: str) -> tuple[int, int]:

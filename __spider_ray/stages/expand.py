@@ -101,7 +101,8 @@ def seeds_dataset(sf_dir: str, n_blocks: int | None = None) -> ray.data.Dataset:
     )
 
 
-def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS) -> pa.Table:
+def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS,
+                 path: str = "flightlist") -> pa.Table:
     """seeds batch → frontier batch: N_DAYS rows per seed (M1).
 
     Vectorized: np.repeat over the seed columns × np.tile over the day
@@ -117,7 +118,8 @@ def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS) -> pa.Table:
     urls, hosts = synth.build_urls(rep["from_city_code"].combine_chunks(),
                                    rep["to_city_code"].combine_chunks(),
                                    day_str,
-                                   synth.url_variant(seed_index.to_numpy()))
+                                   synth.url_variant(seed_index.to_numpy()),
+                                   path=path)
     ua_idx = (hash64(urls, seed=7) % np.uint64(len(synth.USER_AGENTS))).astype(np.int64)
     ua = pc.take(pa.array(synth.USER_AGENTS, type=pa.string()), pa.array(ua_idx))
     meta = pa.StructArray.from_arrays(
@@ -157,7 +159,8 @@ def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS) -> pa.Table:
     )
 
 
-def frontier_dataset(sf_dir: str, n_days: int = synth.N_DAYS) -> ray.data.Dataset:
+def frontier_dataset(sf_dir: str, n_days: int = synth.N_DAYS,
+                     path: str = "flightlist") -> ray.data.Dataset:
     """seeds → expanded frontier (lazy, streaming)."""
     return seeds_dataset(sf_dir).map_batches(
-        lambda b: expand_batch(b, n_days), batch_format="pyarrow")
+        lambda b: expand_batch(b, n_days, path), batch_format="pyarrow")

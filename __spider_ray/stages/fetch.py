@@ -32,22 +32,27 @@ from ..functions.hashing import uniform01
 FETCH_COLS = ("status", "error", "fetch_ts", "elapsed_ms", "body")
 
 
-def fetch_batch(batch: pa.Table) -> pa.Table:
+def fetch_batch(batch: pa.Table, status_fn=None, body_fn=None) -> pa.Table:
     """frontier batch → batch + (status, error, fetch_ts, elapsed_ms, body).
 
     Passes every frontier column through so parse can use meta without a
     join.  elapsed_ms is a deterministic per-URL jitter (replaces the
     reference's randomized DOWNLOAD_DELAY, settings.py:37).
+    ``status_fn``/``body_fn`` select the synthetic API variant (default
+    v1 ``fltitem``; v2 ``listCards`` passes ``synth.page_status_v2`` /
+    ``synth.page_body_v2``).
     """
+    status_fn = status_fn or synth.page_status
+    body_fn = body_fn or synth.page_body
     urls = batch["url"].to_pylist()
     statuses = np.empty(len(urls), dtype=np.int32)
     errors: list[str | None] = [None] * len(urls)
     bodies: list[bytes] = [b""] * len(urls)
     for i, u in enumerate(urls):
-        st, err, _n = synth.page_status(u)
+        st, err, _n = status_fn(u)
         statuses[i] = st
         errors[i] = err
-        bodies[i] = synth.page_body(u)
+        bodies[i] = body_fn(u)
     elapsed = (uniform01(batch["url"].combine_chunks(), salt="elapsed") * 2000 + 50).astype(np.int32)
     fetch_ts = pa.array(
         np.full(len(urls), np.datetime64(synth.CREATE_TIME_STR.replace(" ", "T"), "us")))

@@ -49,19 +49,26 @@ def parse_batch(batch: pa.Table) -> pa.Table:
 
     page_idx: list[int] = []          # source row per emitted flight
     flights: list[dict] = []          # parsed flight dicts, page order
-    counts: list[int] = []            # fltitem count per *emitting* page
+    flight_pos: list[int] = []        # position in the page's fltitem[]
+    counts: list[int] = []            # KEPT flight count per emitting page
     doc_ids: list[str] = []
     for i in range(len(bodies)):
         if errors[i] is not None or status[i] not in (200, 201):
             continue
         try:
-            fl = json.loads(bodies[i])["fltitem"]
+            fl_all = json.loads(bodies[i])["fltitem"]
         except Exception:
             continue
+        # shared-flight filter: the reference only emits rows for flights
+        # with falsy ``icsf`` (``if not icsf``, ylSpider06.py:331-334);
+        # flight_idx stays the position in the RESPONSE (provenance), the
+        # per-page flight count reflects the KEPT flights only.
+        fl = [(j, f) for j, f in enumerate(fl_all) if not f.get("icsf")]
         if not fl:
             continue
         page_idx.extend([i] * len(fl))
-        flights.extend(fl)
+        flights.extend(f for _, f in fl)
+        flight_pos.extend(j for j, _ in fl)
         counts.append(len(fl))
         doc_ids.append("doc-" + synth.md5(urls[i]))
 
@@ -83,9 +90,7 @@ def parse_batch(batch: pa.Table) -> pa.Table:
                            pa.string()),
         "seed_index": take("seed_index"),
         "day_offset": take("day_offset"),
-        "flight_idx": pa.array(
-            np.concatenate([np.arange(c, dtype=np.int32) for c in counts_np])
-            if n else np.empty(0, dtype=np.int32)),
+        "flight_idx": pa.array(np.asarray(flight_pos, dtype=np.int32)),
         "media_ref": pa.array([f["media_ref"] if f.get("has_media") else None
                                for f in flights], pa.string()),
         "company": jf("company"),
@@ -117,6 +122,110 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     }
     names = list(PROVENANCE) + list(FLIGHT_RECORDS.names)
     return pa.Table.from_arrays([arrays[x] for x in names], names=names)
+
+
+def parse_v2_batch(batch: pa.Table) -> pa.Table:
+    """M10 — the Ctrip v2 parser: DOUBLE-decoded body →
+    ``json.loads(json.loads(body)['data'])['listCards']`` rows
+    (``spiders/ctripSpider02.py:272-317``).
+
+    Distinct v2 semantics modeled here:
+    - city names come from the RESPONSE's ``cityMessage`` "A|B" split
+      (ctripSpider02.py:284-285), airport codes/names from each card —
+      not from request meta;
+    - HH:MM times are truncated out of full ``departDateTime`` /
+      ``arriveDateTime`` datetimes (ctripSpider02.py:294-297);
+    - crossDays, totalDuration, ticketCounts[ECONOMY] and
+      stops/stopTimes are first-class columns (the reference computes
+      them and then drops them from ``_data`` — ctripSpider02.py:302-317;
+      we keep them, since they are the fields the format exists for);
+    - ``flight_number`` is the 1-based running card count (the v2
+      ``count`` variable, ctripSpider02.py:287), not the page total;
+    - empty ``listCards`` pages emit nothing (the ConnectionError
+      branch, ctripSpider02.py:276-280).
+    """
+    status = batch["status"].to_numpy()
+    errors = batch["error"].to_pylist()
+    bodies = batch["body"].to_pylist()
+    urls = batch["url"].to_pylist()
+
+    page_idx: list[int] = []
+    cards: list[dict] = []
+    cities: list[tuple[str, str]] = []      # (from_city, to_city) per card
+    doc_ids: list[str] = []
+    counts: list[int] = []
+    for i in range(len(bodies)):
+        if errors[i] is not None or status[i] not in (200, 201):
+            continue
+        try:
+            inner = json.loads(json.loads(bodies[i])["data"])   # double decode
+            cds = inner["listCards"]
+        except Exception:
+            continue
+        if not cds:
+            continue
+        msg = str(inner["cityMessage"]).split("|")
+        page_idx.extend([i] * len(cds))
+        cards.extend(cds)
+        cities.extend([(msg[0], msg[1])] * len(cds))
+        counts.append(len(cds))
+        doc_ids.append("doc-" + synth.md5(urls[i]))
+
+    n = len(cards)
+    idx = pa.array(np.asarray(page_idx, dtype=np.int64))
+    counts_np = np.asarray(counts, dtype=np.int64)
+    take = lambda col: pc.take(batch[col].combine_chunks(), idx)  # noqa: E731
+    meta = batch["meta"].combine_chunks()
+    const = lambda v: pa.array([v] * n, pa.string())              # noqa: E731
+
+    def hhmm(key: str) -> pa.Array:
+        # "YYYY-MM-DD HH:MM:SS" → "HH:MM" (split-space, split-colon rejoin)
+        out = []
+        for c in cards:
+            t = str(c[key]).split(" ")[1]
+            p = t.split(":")
+            out.append(p[0] + ":" + p[1])
+        return pa.array(out, pa.string())
+
+    flight_idx = (np.concatenate([np.arange(c, dtype=np.int64) for c in counts_np])
+                  if n else np.empty(0, dtype=np.int64))
+    arrays = {
+        "url": take("url"),
+        "host": take("host"),
+        "doc_id": pa.array(np.repeat(np.asarray(doc_ids, dtype=object), counts_np),
+                           pa.string()),
+        "seed_index": take("seed_index"),
+        "day_offset": pc.take(batch["day_offset"].combine_chunks().cast(pa.int64()), idx),
+        "flight_idx": pa.array(flight_idx),
+        "company": pa.array([c["airlines"][0]["name"] for c in cards], pa.string()),
+        "company_no": pa.array([c["airlines"][0]["code"] for c in cards], pa.string()),
+        "plane_no": pa.array([c["airlines"][0]["displayName"] for c in cards], pa.string()),
+        "start_time": hhmm("departDateTime"),
+        "end_time": hhmm("arriveDateTime"),
+        "cross_days": pa.array([int(c["crossDays"]) for c in cards], pa.int64()),
+        "total_duration": pa.array([int(c["totalDuration"]) for c in cards], pa.int64()),
+        "ticket_counts": pa.array([int(c["ticketCounts"]["ECONOMY"]) for c in cards],
+                                  pa.int64()),
+        "stop_times": pa.array([str(c["stopTimes"][0]) if c["stops"] else ""
+                                for c in cards], pa.string()),
+        "from_city": pa.array([a for a, _ in cities], pa.string()),
+        "from_city_code": pa.array([c["departureAirportCode"] for c in cards], pa.string()),
+        "from_city_airport": pa.array([c["departureAirportName"] for c in cards], pa.string()),
+        "to_city": pa.array([b for _, b in cities], pa.string()),
+        "to_city_code": pa.array([c["arrivalAirportCode"] for c in cards], pa.string()),
+        "to_city_airport": pa.array([c["arrivalAirportName"] for c in cards], pa.string()),
+        "create_time": pc.take(meta.field("create_time"), idx),
+        "discount": pa.array([str(c["discounts"]["ECONOMY"]) for c in cards], pa.string()),
+        "off_date": pc.take(meta.field("flight_time"), idx),
+        "platform": const(synth.PLATFORM),
+        "price": pa.array([str(c["prices"]["ECONOMY"]) for c in cards], pa.string()),
+        "flight_type": pa.array(["经停" if c["stops"] else "" for c in cards], pa.string()),
+        "flight_transfer": pa.array([c["stops"][0] if c["stops"] else ""
+                                     for c in cards], pa.string()),
+        "plane_type": pa.array([c["airlines"][0]["craft"] for c in cards], pa.string()),
+        "flight_number": pa.array(flight_idx + 1),
+    }
+    return pa.Table.from_arrays(list(arrays.values()), names=list(arrays.keys()))
 
 
 def split_fetch_results(batch: pa.Table) -> pa.Table:

@@ -30,6 +30,11 @@ from __future__ import annotations
 import hashlib
 import json
 from datetime import date, timedelta
+from datetime import date as _date_cls
+
+
+def date_fromisoformat(s: str) -> date:
+    return _date_cls.fromisoformat(s)
 
 import numpy as np
 import pyarrow as pa
@@ -121,7 +126,15 @@ def flight_fields(url: str, i: int) -> dict:
     end_tot = (dep_h * 60 + dep_m + dur) % 1440
     price = 200 + _hx(h, 11, 15) % 1800
     disc_tenths = 20 + _hx(h, 15, 17) % 80
-    has_stop = _hx(h, 17, 18) < 3
+    # three-way classification (ylSpider06.py:361-373): 'sc' node → 经停
+    # (stopover), 'ps.g5.g5sc' → 联程 (connecting itinerary), else 直飞
+    d17 = _hx(h, 17, 18)
+    if d17 < 3:
+        ftype, transfer = "经停", TRANSFER_CITIES[_hx(h, 18, 19)]
+    elif d17 < 5:
+        ftype, transfer = "联程", TRANSFER_CITIES[_hx(h, 18, 19)]
+    else:
+        ftype, transfer = "直飞", ""
     return {
         "company": company,
         "company_no": code,                      # plane_no[0:2] (ctripSpider.py:274)
@@ -130,11 +143,12 @@ def flight_fields(url: str, i: int) -> dict:
         "end_time": f"{end_tot // 60:02d}:{end_tot % 60:02d}",
         "price": str(price),                     # stringified (ctripSpider.py:277)
         "discount": f"{disc_tenths / 10:.1f}折",  # drate*10 rule (ctripSpider.py:278)
-        "flight_type": "经停" if has_stop else "",
-        "flight_transfer": TRANSFER_CITIES[_hx(h, 18, 19)] if has_stop else "",
+        "flight_type": ftype,
+        "flight_transfer": transfer,
         "plane_type": f"73{_hx(h, 19, 20) % 10}",
         "has_media": _hx(h, 20, 21) == 0,        # ~6% of flights carry a captcha artifact
         "media_ref": f"captcha://{h[:16]}",
+        "icsf": _hx(h, 21, 22) == 0,             # shared-flight marker (ylSpider06.py:331)
     }
 
 
@@ -148,6 +162,93 @@ def page_body(url: str) -> bytes:
         {"fltitem": [flight_fields(url, i) for i in range(n)]},
         ensure_ascii=False,
     ).encode()
+
+
+# ---------------------------------------------------------------- Ctrip v2 (listCards)
+# The second body format of the reference (``spiders/ctripSpider02.py:272-317``):
+# the payload is DOUBLE-encoded — ``json.loads(json.loads(body)['data'])`` —
+# and carries ``listCards`` entries with crossDays / totalDuration /
+# ticketCounts / stops / stopTimes plus a ``cityMessage`` "A|B" pair the
+# parser splits for the city names.  URL path segment: ``listcards``.
+
+def url_parts(url: str) -> tuple[str, str, str]:
+    """(from_code, to_code, date) parsed back out of a list URL — the
+    synthetic body must be a pure function of the URL alone."""
+    segs = url.split("/")
+    od, date = segs[4], segs[5].split("?")[0]
+    from_code, to_code = od.split("-", 1)
+    return from_code, to_code, date
+
+
+def page_status_v2(url: str) -> tuple[int, str | None, int]:
+    """v2 status routing: same transport/status branches as v1, but the
+    card count may be ZERO — modeling the empty-``listCards`` branch the
+    reference turns into a ConnectionError (ctripSpider02.py:276-280):
+    such pages emit no records."""
+    h = md5(url)
+    d0 = _hx(h, 0, 1)
+    if d0 == 0:
+        return 0, "timeout", 0
+    if d0 == 1:
+        return 403, None, 0
+    if d0 == 2:
+        return 500, None, 0
+    return 200, None, _hx(h, 1, 2) % 6
+
+
+def card_fields_v2(url: str, i: int) -> dict:
+    """listCard *i* of a v2 page — md5-derived, SQL-mirrorable.
+
+    Field shape follows the reference's per-card extraction
+    (``ctripSpider02.py:286-311``): airlines[0] dict, ECONOMY keyed
+    prices/discounts/ticketCounts, stops/stopTimes parallel lists,
+    departDateTime/arriveDateTime full datetimes (the parser truncates
+    to HH:MM), crossDays and totalDuration."""
+    from_code, to_code, date = url_parts(url)
+    h = md5(f"{url}#{i}")
+    company, code = COMPANIES[_hx(h, 0, 1) % len(COMPANIES)]
+    plane_no = code + str(1000 + _hx(h, 1, 5) % 9000)
+    dep_h, dep_m = _hx(h, 5, 7) % 24, (_hx(h, 7, 9) % 12) * 5
+    dur = 90 + _hx(h, 9, 11) % 600
+    end_raw = dep_h * 60 + dep_m + dur
+    cross_days = end_raw // 1440
+    arr_date = (date_fromisoformat(date) + timedelta(days=cross_days)).isoformat()
+    price = 300 + _hx(h, 11, 15) % 2000
+    disc = (20 + _hx(h, 15, 17) % 80) / 10
+    has_stop = _hx(h, 17, 18) < 4
+    return {
+        "departureAirportCode": from_code,
+        "departureAirportName": f"{from_code}机场",
+        "arrivalAirportCode": to_code,
+        "arrivalAirportName": f"{to_code}机场",
+        "departDateTime": f"{date} {dep_h:02d}:{dep_m:02d}:00",
+        "arriveDateTime": f"{arr_date} {(end_raw % 1440) // 60:02d}:{end_raw % 60:02d}:00",
+        "crossDays": cross_days,
+        "airlines": [{"displayName": plane_no, "code": code,
+                      "name": company, "craft": f"32{_hx(h, 22, 23) % 10}"}],
+        "prices": {"ECONOMY": price},
+        "discounts": {"ECONOMY": f"{disc:.1f}"},
+        "totalDuration": dur,
+        "ticketCounts": {"ECONOMY": 1 + _hx(h, 20, 21) % 9},
+        "stops": [TRANSFER_CITIES[_hx(h, 18, 19)]] if has_stop else [],
+        "stopTimes": [30 + _hx(h, 19, 20) * 10] if has_stop else [],
+    }
+
+
+def page_body_v2(url: str) -> bytes:
+    """v2 response body: the inner payload is a JSON STRING under
+    ``data`` (double encoding, ctripSpider02.py:272) with ``listCards``
+    and the ``cityMessage`` "A|B" pair (ctripSpider02.py:284-285)."""
+    status, error, n = page_status_v2(url)
+    if error or status != 200:
+        return json.dumps({"error": error or status}).encode()
+    from_code, to_code, _date = url_parts(url)
+    inner = {
+        "listCards": [card_fields_v2(url, i) for i in range(n)],
+        "cityMessage": f"{from_code}城|{to_code}城",
+    }
+    return json.dumps({"data": json.dumps(inner, ensure_ascii=False)},
+                      ensure_ascii=False).encode()
 
 
 # ---------------------------------------------------------------- detail pages (depth 1)
@@ -221,17 +322,18 @@ def url_variant(seed_id: np.ndarray) -> np.ndarray:
 
 
 def build_urls(from_codes: pa.Array, to_codes: pa.Array, days: pa.Array,
-               variants: np.ndarray):
-    """url = https://{lower(to)}.flights.test/flightlist/{from}-{to}/{date}?v={v}
+               variants: np.ndarray, path: str = "flightlist"):
+    """url = https://{lower(to)}.flights.test/{path}/{from}-{to}/{date}?v={v}
 
     Host embeds the destination code → all URLs of one destination meet
     one politeness bucket; 北京(BJS) is the deliberate hot host.
+    ``path``: ``flightlist`` = v1 API, ``listcards`` = v2 (ctripSpider02).
     """
     import pyarrow.compute as pc
     host = pc.binary_join_element_wise(
         pc.utf8_lower(to_codes.cast(pa.string())), pa.scalar(".flights.test"), "")
     v = pa.array(variants.astype(str), type=pa.string())
     return pc.binary_join_element_wise(
-        pa.scalar("https://"), host, pa.scalar("/flightlist/"),
+        pa.scalar("https://"), host, pa.scalar(f"/{path}/"),
         from_codes.cast(pa.string()), pa.scalar("-"), to_codes.cast(pa.string()),
         pa.scalar("/"), days.cast(pa.string()), pa.scalar("?v="), v, ""), host

@@ -64,10 +64,15 @@ def simulate(sf_dir: str, n_days: int = synth.N_DAYS):
             status, error, n_fl = synth.page_status(url)
             if error or status != 200:
                 continue
+            # shared-flight filter (ylSpider06.py:331-334): icsf rows
+            # yield nothing; a page of only shared flights yields no doc
+            kept = [fl for fl in (synth.flight_fields(url, i)
+                                  for i in range(n_fl)) if not fl["icsf"]]
+            if not kept:
+                continue
             doc_id = "doc-" + synth.md5(url)
             spans = []
-            for i in range(n_fl):
-                fl = synth.flight_fields(url, i)
+            for fl in kept:
                 for f in TEXT_FIELDS:
                     spans.append(("text", fl[f], None, len(spans)))
                 if fl["has_media"]:

@@ -48,6 +48,52 @@ def test_hash64_sliced_array_matches_unsliced():
     assert (hash64(sliced) == hash64(fresh)).all()
 
 
+def test_v2_body_is_double_encoded_and_parser_reads_cards():
+    """The v2 body's 'data' value must be a JSON STRING (double encoding,
+    ctripSpider02.py:272) and the parser must read fields from the CARDS,
+    not from request meta."""
+    import json
+    # find a 200 page with at least one card
+    url = next(u for u in
+               (f"https://pek.flights.test/listcards/SHA-PEK/2026-01-0{d}?v={v}"
+                for d in range(1, 9) for v in range(40))
+               if synth.page_status_v2(u)[0] == 200 and synth.page_status_v2(u)[2] > 0)
+    body = synth.page_body_v2(url)
+    outer = json.loads(body)
+    assert isinstance(outer["data"], str)          # double-encoded
+    inner = json.loads(outer["data"])
+    assert inner["cityMessage"] == "SHA城|PEK城"
+    cards = inner["listCards"]
+    assert all(set(c) >= {"crossDays", "totalDuration", "ticketCounts",
+                          "stops", "stopTimes", "airlines"} for c in cards)
+    # parse through the real stage
+    from __spider_ray.stages.parse import parse_v2_batch
+    n = len(cards)
+    meta = pa.StructArray.from_arrays(
+        [pa.array(["2026-01-01"]), pa.array([synth.CREATE_TIME_STR])],
+        names=["flight_time", "create_time"])
+    batch = pa.table({
+        "url": pa.array([url]), "host": pa.array(["pek.flights.test"]),
+        "seed_index": pa.array([1], pa.int64()),
+        "day_offset": pa.array([0], pa.int32()),
+        "meta": meta,
+        "status": pa.array([200], pa.int32()),
+        "error": pa.array([None], pa.string()),
+        "body": pa.array([body], pa.binary()),
+    })
+    out = parse_v2_batch(batch)
+    assert out.num_rows == n
+    assert out["from_city"][0].as_py() == "SHA城"
+    assert out["from_city_airport"][0].as_py() == "SHA机场"
+    # HH:MM truncation of the card's full datetime
+    t0 = cards[0]["departDateTime"].split(" ")[1]
+    assert out["start_time"][0].as_py() == t0[:5]
+    # running count semantics (the v2 'count' variable)
+    assert out["flight_number"].to_pylist() == list(range(1, n + 1))
+    stops0 = cards[0]["stops"]
+    assert out["flight_type"][0].as_py() == ("经停" if stops0 else "")
+
+
 def test_uniform01_range():
     u = uniform01(pa.array([f"u{i}" for i in range(1000)]), salt="x")
     assert (u >= 0).all() and (u < 1).all()
@@ -119,14 +165,19 @@ def test_fetch_parse_roundtrip():
                           fb["error"].to_pylist()):
         assert (st, err) == (want[u][0], want[u][1])
     recs = parse_batch(fb)
-    ok_urls = [u for u in urls if want[u][0] == 200]
+    # shared (icsf) flights are filtered (ylSpider06.py:331-334); the
+    # emitted count and flight_number reflect the KEPT flights only
+    kept = {u: [i for i in range(want[u][2])
+                if not synth.flight_fields(u, i)["icsf"]]
+            for u in urls if want[u][0] == 200}
+    ok_urls = [u for u, ks in kept.items() if ks]
     assert set(recs["url"].to_pylist()) == set(ok_urls)
-    # flight_number equals the page's fltitem count
     for u in ok_urls:
-        n = want[u][2]
+        ks = kept[u]
         sub = recs.filter(pa.compute.equal(recs["url"], u))
-        assert sub.num_rows == n
-        assert sub["flight_number"].to_pylist() == [n] * n
+        assert sub.num_rows == len(ks)
+        assert sorted(sub["flight_idx"].to_pylist()) == ks   # response positions
+        assert sub["flight_number"].to_pylist() == [len(ks)] * len(ks)
     dead = split_fetch_results(fb)
     assert set(dead["url"].to_pylist()) == set(u for u in urls if want[u][0] != 200)
 

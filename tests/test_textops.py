@@ -99,7 +99,7 @@ def test_exact_dedup_counts():
 
 
 def test_connected_components_vs_union_find():
-    pairs = textops.q_dedup_minhash(SF_SMALL)
+    pairs = textops.q_dedup_minhash(SF_SMALL).to_pandas()
     comp = textops.q_dedup_clusters(SF_SMALL).to_pandas()
     # union-find oracle on the same pairs
     parent: dict[int, int] = {}
@@ -116,7 +116,7 @@ def test_connected_components_vs_union_find():
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+    for a, b in zip(pairs["a"], pairs["b"]):
         union(int(a), int(b))
     want = {n: find(n) for n in parent}
     got = dict(zip(comp["doc_id"].astype(int), comp["component"].astype(int)))
