@@ -182,6 +182,7 @@ def run_crawl(
     n_days: int | None = None,
     salt_hot: bool = False,
     n_chunks: int = 1,
+    robots_fetcher=None,
     _fail_after_chunk: int | None = None,
 ) -> dict:
     """Run the full crawl; returns the final metrics dict.
@@ -212,7 +213,11 @@ def run_crawl(
     seen_concurrency = max(2, fetch_concurrency // 2)
 
     seen = UrlSeenSet(n_shards=n_seen_shards, n_buckets=seen_buckets)
-    policy = HostPolicyClient(n_actors=2, delay_s=delay_s, burst=burst)
+    # robots_fetcher=None reproduces the reference (allow-all,
+    # settings.py:21); a callable host→bool turns on the deny path
+    # through the same TTL-cached robots actors
+    policy = HostPolicyClient(n_actors=2, delay_s=delay_s, burst=burst,
+                              robots_fetcher=robots_fetcher)
 
     start_epoch = ckpt.last_complete_epoch(out_dir) + 1 if resume else 0
     if start_epoch > 0:
@@ -251,6 +256,11 @@ def run_crawl(
             from ..stages.expand import _default_blocks
             frontier_full = ray.data.read_parquet(
                 fdir, override_num_blocks=_default_blocks())
+            # links live in per-chunk subdirs (orphan hygiene); drop the
+            # hive-partition column the recursive read adds
+            frontier_full = frontier_full.map_batches(
+                lambda t: t.drop_columns(["chunk"]) if "chunk" in t.column_names else t,
+                batch_format="pyarrow")
         if salt_hot:
             frontier_full = salt_hot_hosts(frontier_full)
 
@@ -296,7 +306,11 @@ def run_crawl(
                     out_dir, f"records/epoch={epoch}/chunk={chunk}")
                 docs_dir = os.path.join(
                     out_dir, f"docs/epoch={epoch}/chunk={chunk}")
-                for d in (records_dir, docs_dir):     # clear partial CHUNK
+                # links staged per-chunk: a re-run of an uncommitted
+                # chunk clears ITS dir wholesale, so shifted batch
+                # boundaries can never leave stale LINK parts behind
+                links_dir = os.path.join(next_dir, f"chunk={chunk}")
+                for d in (records_dir, docs_dir, links_dir):  # clear partial CHUNK
                     shutil.rmtree(d, ignore_errors=True)
                     os.makedirs(d, exist_ok=True)
                 # ONE streaming pass: fetch → parse → side-write docs +
@@ -306,18 +320,24 @@ def run_crawl(
                         lambda b: fetch.fetch_with_policy(b, policy),
                         batch_format="pyarrow", batch_size=fetch_batch_size)
                     .map_batches(parse.parse_batch, batch_format="pyarrow")
-                    .map_batches(lambda t: _side_write(t, docs_dir, next_dir),
+                    .map_batches(lambda t: _side_write(t, docs_dir, links_dir),
                                  batch_format="pyarrow")
                     .write_parquet(records_dir)
                 )
                 t0 = _t(f"e0.c{chunk} pass", t0)
                 n_rec = ray.data.read_parquet(records_dir).count()  # metadata
-                n_docs = ray.data.read_parquet(docs_dir).count()
+                # store-commit the staged doc parts: Lance when present,
+                # count-verify (A3) + distinct-doc_id idempotence check,
+                # manifest written (sources/doc_store.py)
+                from ..sources import doc_store
+                doc_commit = doc_store.commit_staged_documents(docs_dir)
+                n_docs = doc_commit["rows"]
                 totals["records"] += n_rec
                 totals["docs"] += n_docs
                 # the chunk marker below is the commit manifest: rows +
                 # lineage + filter snapshot (A3 invariant carrier)
-                metrics = {"records": n_rec, "docs": n_docs, "totals": dict(totals)}
+                metrics = {"records": n_rec, "docs": n_docs,
+                           "doc_commit": doc_commit, "totals": dict(totals)}
             else:
                 fares_dir = os.path.join(
                     out_dir, f"fares/epoch={epoch}/chunk={chunk}")

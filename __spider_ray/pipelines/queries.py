@@ -144,6 +144,28 @@ def _crawl_min_price(sf_dir: str):
               .map_groups(argmin_bucket, batch_format="pyarrow"))
 
 
+DENY_HOST = "bjs.flights.test"     # the hot host — worst-case deny
+
+
+def _crawl_robots_deny(sf_dir: str):
+    """J4 deny path, end-to-end: the deduped frontier is filtered
+    through the REAL HostPolicyActor robots TTL cache (a pool with a
+    deny-list fetcher), not a plain column filter — the allow decisions
+    travel through the actor round-trip the crawl uses."""
+    from ..state.politeness import HostPolicyClient
+    policy = HostPolicyClient(n_actors=2,
+                              robots_fetcher=lambda h: h != DENY_HOST)
+    ds = crawl.frontier(sf_dir)
+
+    def robots_filter(t: pa.Table) -> pa.Table:
+        mask = policy.robots_mask(t["host"].combine_chunks())
+        t = t.filter(pa.array(mask))
+        return pa.table({"url": t["url"], "host": t["host"],
+                         "seed_index": t["seed_index"],
+                         "day_offset": t["day_offset"].cast(pa.int64())})
+    return ds.map_batches(robots_filter, batch_format="pyarrow")
+
+
 def _crawl_dead_letter(sf_dir: str):
     ds = crawl.dead_letter(sf_dir)
 
@@ -251,6 +273,9 @@ _CRAWL_SQL = {
                          "SELECT url, CAST(status AS BIGINT) AS status, "
                          "CASE WHEN error IS NOT NULL THEN error ELSE CAST(status AS VARCHAR) END AS failure_kind "
                          "FROM fetched WHERE error IS NOT NULL OR status NOT IN (200, 201)",
+    "crawl_robots_deny": f"{osql.with_chain(osql.SEEDS_CTE, osql.FRONTIER_CTE)} "
+                         "SELECT url, host, seed_index, day_offset FROM frontier "
+                         "WHERE host <> 'bjs.flights.test'",
     "crawl_cabins": f'{osql.CRAWL_DETAIL} SELECT detail_url, host, plane_no, off_date, '
                     'cabin_idx, "ruleId", "limitLabel", "clientTicketPrice", '
                     'lep, lrp, ml, baggage FROM cabins',
@@ -276,6 +301,7 @@ def _ensure_builtin() -> None:
     register("crawl_od_counts", _crawl_od_counts, _CRAWL_SQL["crawl_od_counts"])
     register("crawl_min_price", _crawl_min_price, _CRAWL_SQL["crawl_min_price"])
     register("crawl_dead_letter", _crawl_dead_letter, _CRAWL_SQL["crawl_dead_letter"])
+    register("crawl_robots_deny", _crawl_robots_deny, _CRAWL_SQL["crawl_robots_deny"])
     media_sql = f"""{osql.CRAWL_SPANS},
 media AS (
   SELECT doc_id, media_ref,

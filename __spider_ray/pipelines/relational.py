@@ -98,30 +98,39 @@ GROUP BY l_returnflag, l_linestatus
 
 # ------------------------------------------------------------------ Q3-style
 def q_top_orders(sf_dir: str):
-    """Broadcast hash join (J1 pattern at scale): the filtered small
-    side (segment customers ⋈ dated orders) broadcasts into a lineitem
-    map_batches; revenue aggregates per order; top-10 sort+limit (O1)."""
+    """Q3-style top-k, fully distributed: the only driver-side read is
+    the FILTERED customer key set (one segment ≈ 1/5 of custkeys,
+    broadcast once via ``ray.put``).  orders is filtered in distributed
+    ``map_batches`` (``pc.is_in`` against the broadcast keys — never a
+    driver-side table read or a Python-loop mask), lineitem pre-
+    aggregates revenue per order in-batch, and the two streams meet in
+    the partitioned ``hash_join`` keyed o_orderkey, which also carries
+    o_orderdate to the output — no driver dict."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_join
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    keys = set(cust.filter(pc.equal(cust["c_mktsegment"], SEG))["c_custkey"].to_pylist())
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = orders.filter(pc.less(orders["o_orderdate"],
-                                   pa.scalar(np.datetime64(Q3_DATE, "us"))))
-    omask = pa.array([k in keys for k in orders["o_custkey"].to_pylist()])
-    orders = orders.filter(omask)
-    odate = dict(zip(orders["o_orderkey"].to_pylist(),
-                     orders["o_orderdate"].to_pylist()))
-    okeys = set(odate)
+    seg_keys = cust.filter(pc.equal(cust["c_mktsegment"], SEG))["c_custkey"] \
+        .combine_chunks().cast(pa.int64())
+    keys_ref = ray.put(seg_keys)
 
-    ds = _read(sf_dir, "lineitem",
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"],
+                             pa.scalar(np.datetime64(Q3_DATE, "us"))))
+        t = t.filter(pc.is_in(t["o_custkey"], value_set=ray.get(keys_ref)))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"]})
+
+    li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"],
                                 pa.scalar(np.datetime64(Q3_DATE, "us"))))
-        m = pc.is_in(t["l_orderkey"], value_set=pa.array(sorted(okeys), pa.int64()))
-        t = t.filter(m)
         rev = pc.round(pc.multiply(
             pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
             10000.0)).cast(pa.int64())
@@ -129,18 +138,16 @@ def q_top_orders(sf_dir: str):
               .group_by("o_orderkey").aggregate([("revenue_cents", "sum")])
         return g.rename_columns(["o_orderkey", "revenue_cents"])
 
-    from ray.data.aggregate import Sum
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("o_orderkey")
-             .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+    joined = hash_join(li.map_batches(partial, batch_format="pyarrow"),
+                       orders.map_batches(ofilter, batch_format="pyarrow"),
+                       on=["o_orderkey"], how="inner")
+    agg = (joined.groupby(["o_orderkey", "o_orderdate"])
+                 .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
     top = agg.sort(["revenue_cents", "o_orderkey"],
                    descending=[True, False]).limit(10)
-
-    def attach_date(t: pa.Table) -> pa.Table:
-        dates = pa.array([odate[k] for k in t["o_orderkey"].to_pylist()],
-                         type=pa.timestamp("us"))
-        return t.append_column("o_orderdate", dates)
-    return top.map_batches(attach_date, batch_format="pyarrow")
+    return top.map_batches(
+        lambda t: t.select(["o_orderkey", "revenue_cents", "o_orderdate"]),
+        batch_format="pyarrow")
 
 
 SQL_TOP_ORDERS = f"""
@@ -483,15 +490,20 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders
 def q_events_sample(sf_dir: str):
     """O3 — deterministic hash sampling (the replay-stable replacement
     for random_sample): keep ~10% of events by md5(event_id) bucket,
-    reproducible in SQL."""
+    reproducible in SQL.
+
+    ORACLE-ONLY SHAPE: the md5-per-row key exists solely so DuckDB's
+    ``md5()`` reproduces the sample bit-for-bit (see
+    ``functions.hashing.md5_hex``'s contract).  The engine's hot-path
+    sampler is the vectorized ``functions.hashing.uniform01`` /
+    ``hash64`` — do not copy this md5 loop into a 100 TB stage."""
+    from ..functions.hashing import md5_hex
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
     def f(t: pa.Table) -> pa.Table:
-        import hashlib
-        ids = t["event_id"].to_pylist()
-        keep = pa.array([int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
-                         % 100 < 10 for i in ids])
-        t = t.filter(keep)
+        hexes = md5_hex(t["event_id"].to_pylist())       # oracle-parity helper
+        buckets = np.array([int(h[:4], 16) for h in hexes], dtype=np.int64)
+        t = t.filter(pa.array(buckets % 100 < 10))
         return pa.table({"event_id": t["event_id"],
                          "event_type": t["event_type"],
                          "value_cents": _cents(t["value"])})
@@ -507,9 +519,10 @@ WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 10
 
 
 def q_nation_revenue(sf_dir: str):
-    """Q5-style rollup exercising the partitioned hash join on the two
-    LARGE tables (lineitem ⋈ orders on orderkey), then a broadcast
-    customer→nation hop and an integer-cents rollup per nation."""
+    """Q5-style rollup exercising the partitioned hash join on the
+    LARGE tables: lineitem ⋈ orders on orderkey, then ⋈ customer on
+    custkey (both distributed), a 25-row nation dim broadcast, and an
+    integer-cents rollup per nation."""
     from ..functions.joins import hash_join
     Y0, Y1 = "1996-01-01", "1997-01-01"
 
@@ -534,28 +547,39 @@ def q_nation_revenue(sf_dir: str):
                        orders.map_batches(oprep, batch_format="pyarrow"),
                        on=["o_orderkey"], how="inner")
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
+    # customer→nation hop: customer is a LARGE table at scale (a
+    # broadcast custkey→nation dict stops fitting at ~10^8 rows), so it
+    # joins distributed — second partitioned hash_join keyed o_custkey.
+    # Only the 25-row nation dim broadcasts, applied with vectorized
+    # index_in+take (no per-row Python).
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cprep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["c_custkey"].cast(pa.int64()),
+                         "n_nationkey": t["c_nationkey"].cast(pa.int64())})
+
+    joined2 = hash_join(joined, cust_ds.map_batches(cprep, batch_format="pyarrow"),
+                        on=["o_custkey"], how="inner")
+
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    n2name = dict(zip(nation["n_nationkey"].to_pylist(),
-                      nation["n_name"].to_pylist()))
-    c2n = {c: n2name[k] for c, k in zip(cust["c_custkey"].to_pylist(),
-                                        cust["c_nationkey"].to_pylist())}
+    nat_keys = nation["n_nationkey"].combine_chunks().cast(pa.int64())
+    nat_names = nation["n_name"].combine_chunks()
 
     def to_nation(t: pa.Table) -> pa.Table:
-        names = pa.array([c2n[int(c)] for c in t["o_custkey"].to_numpy()],
-                         pa.string())
+        idx = pc.index_in(t["n_nationkey"].combine_chunks().cast(pa.int64()),
+                          value_set=nat_keys)
+        names = pc.take(nat_names, idx)
         g = pa.table({"n_name": names, "revenue_cents": t["revenue_cents"]}) \
               .group_by("n_name").aggregate([("revenue_cents", "sum"),
                                              ("revenue_cents", "count")])
         return g.rename_columns(["n_name", "revenue_cents", "n_items"])
 
     from ray.data.aggregate import Sum
-    return (joined.map_batches(to_nation, batch_format="pyarrow")
-                  .groupby("n_name")
-                  .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
-                             Sum("n_items", alias_name="n_items")))
+    return (joined2.map_batches(to_nation, batch_format="pyarrow")
+                   .groupby("n_name")
+                   .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                              Sum("n_items", alias_name="n_items")))
 
 
 SQL_NATION_REVENUE = """

@@ -54,6 +54,48 @@ def write_documents(ds: ray.data.Dataset, path: str,
     return commit
 
 
+def commit_staged_documents(path: str, expected_rows: int | None = None,
+                            unique_key: str | None = "doc_id") -> dict:
+    """Commit a directory of parquet parts STAGED by a streaming tee
+    (``pipelines/epoch._side_write`` writes doc parts inline during the
+    fetch→parse pass so docs never need a second full pipeline run).
+
+    This is the store-commit step on the crawl's write path:
+    - when ``lance`` is importable the staged parts are appended to the
+      Lance table at ``<path>.lance`` (the north_rule storage target);
+    - the reference's count-verification invariant
+      (``YlTwistPipeline.py:166-169``) runs here: written rows must be
+      ≥ ``expected_rows`` when given, and when ``unique_key`` is set the
+      distinct-key count must EQUAL the row count (the ``replace into``
+      idempotence analog — a duplicate or split doc fails the commit);
+    - the manifest records the verified count.
+    """
+    staged = ray.data.read_parquet(path, file_extensions=["parquet"])
+    if HAVE_LANCE:
+        staged.write_lance(path + ".lance", mode="append")   # pragma: no cover
+        n = ray.data.read_lance(path + ".lance").count()     # pragma: no cover
+    else:
+        n = staged.count()                       # parquet-metadata count
+    if expected_rows is not None and n < expected_rows:
+        raise RuntimeError(
+            f"document store commit verification failed: wrote {n} rows, "
+            f"expected >= {expected_rows}")
+    n_unique = None
+    if unique_key is not None and n:
+        n_unique = (ray.data.read_parquet(path, columns=[unique_key],
+                                          file_extensions=["parquet"])
+                    .groupby(unique_key).count().count())
+        if n_unique != n:
+            raise RuntimeError(
+                f"document store commit verification failed: {n} rows but "
+                f"{n_unique} distinct {unique_key} — duplicate or split docs")
+    commit = {"rows": n, "unique": n_unique,
+              "format": "lance" if HAVE_LANCE else "parquet"}
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(commit, f)
+    return commit
+
+
 def read_documents(path: str) -> ray.data.Dataset:
     if HAVE_LANCE:
         return ray.data.read_lance(path)             # pragma: no cover

@@ -77,6 +77,53 @@ def fetch_with_policy(batch: pa.Table, politeness=None) -> pa.Table:
     return fetch_batch(batch)
 
 
+ORIGIN_CIPHERS = ("TLS13-AES-256-GCM-SHA384:TLS13-CHACHA20-POLY1305-SHA256:"
+                  "TLS13-AES-128-GCM-SHA256:ECDH+AESGCM:ECDH+CHACHA20:DH+AESGCM:"
+                  "DH+CHACHA20:ECDH+AES256:DH+AES256:ECDH+AES128:DH+AES:"
+                  "RSA+AESGCM:RSA+AES")      # cipher pool (HttpDownloadHandler.py:9)
+
+
+def shuffled_ciphers(key: str) -> str:
+    """Deterministic per-session cipher order — the reference shuffles
+    the TLS cipher list per request (``HttpDownloadHandler.py:11-23``,
+    ``shuffle_ciphers``); here the permutation is a pure function of the
+    session key so replays are stable."""
+    import hashlib
+    ciphers = ORIGIN_CIPHERS.split(":")
+    seed = int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "little")
+    rng = np.random.RandomState(seed % (2**32))
+    rng.shuffle(ciphers)
+    return ":".join(ciphers) + ":!aNULL:!MD5:!DSS"
+
+
+class RealTransport:
+    """Import-gated live-HTTP plug point (mirrors the reference's
+    ``MyHttpDownloadHandler``): an httpx client per actor with a
+    per-session shuffled TLS cipher suite.  The sandbox has no network
+    and no ``httpx``, so construction raises unless the package is
+    present — ``FetchWorker(transport="real")`` is how a real
+    deployment swaps the synthetic web for live fetches, the same shape
+    as the render/media plug points (stages/render.py, stages/media.py).
+    """
+
+    def __init__(self, session_key: str, timeout_s: float = 3.0):
+        try:
+            import httpx
+        except ImportError as e:              # pragma: no cover - sandbox
+            raise NotImplementedError(
+                "RealTransport needs the httpx package (absent in this "
+                "sandbox); use the synthetic transport instead") from e
+        import ssl
+        ctx = ssl.create_default_context()
+        ctx.set_ciphers(shuffled_ciphers(session_key))
+        # DOWNLOAD_TIMEOUT = 3 (settings.py:38)
+        self.client = httpx.Client(verify=ctx, timeout=timeout_s)
+
+    def fetch(self, url: str, headers: dict | None = None) -> tuple[int, bytes]:
+        r = self.client.post(url, headers=headers or {})
+        return r.status_code, r.content
+
+
 class FetchWorker:
     """Stateful fetch actor for ``map_batches(FetchWorker, concurrency=N)``.
 
@@ -94,13 +141,18 @@ class FetchWorker:
     """
 
     def __init__(self, politeness=None, max_retries: int = 2,
-                 proxies: list[str] | None = None, credentials=None):
+                 proxies: list[str] | None = None, credentials=None,
+                 transport: str = "synthetic"):
         self.politeness = politeness          # HostPolicyClient or None
         self.credentials = credentials        # CredentialClient or None
         self.max_retries = max_retries
         self.proxies = proxies or [f"proxy-{i}.pool.test:8080" for i in range(8)]
         self._proxy_i = 0
-        self.session_id = "session"           # placeholder for real TLS session state
+        self.session_id = "session"
+        # per-actor TLS session with shuffled ciphers (import-gated;
+        # synthetic transport in the sandbox)
+        self.transport = RealTransport(self.session_id) \
+            if transport == "real" else None
 
     def next_proxy(self) -> str:
         p = self.proxies[self._proxy_i % len(self.proxies)]

@@ -146,6 +146,67 @@ def test_mid_epoch_crash_resume():
     assert res["totals"]["docs"] == len(sim_docs)
 
 
+def test_doc_store_manifest_on_crawl_path():
+    """The epoch loop's doc writes go through the doc-store commit: each
+    chunk's docs dir carries a verified manifest (A3 invariant,
+    YlTwistPipeline.py:166-169) whose count matches the parquet rows."""
+    if not os.path.exists(os.path.join(OUT, "epoch=1.json")):
+        _run_fresh()
+    from __spider_ray.sources import doc_store
+    chunk_dir = os.path.join(OUT, "docs/epoch=0/chunk=0")
+    m = doc_store.manifest(chunk_dir)
+    assert m is not None and m["format"] in ("lance", "parquet")
+    n = ray.data.read_parquet(chunk_dir, file_extensions=["parquet"]).count()
+    assert m["rows"] == n
+    assert m["unique"] == n        # one row per doc_id — no split/dup docs
+    # the chunk marker carries the same commit record (lineage)
+    marker = json.load(open(os.path.join(OUT, "epoch=0.chunk=0.json")))
+    assert marker["doc_commit"]["rows"] == n
+
+
+def test_frontier_dir_has_no_orphan_parts():
+    """After a crash + resume with shifted work, frontier/epoch=1 must
+    contain exactly the committed chunks' subdirs — a re-run clears its
+    own chunk dir wholesale, so stale LINK parts cannot survive."""
+    out_c = "/tmp/spider_ray_test/crash"       # produced by the crash test
+    if not os.path.exists(os.path.join(out_c, "epoch=1.json")):
+        import pytest
+        shutil.rmtree(out_c, ignore_errors=True)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            epoch.run_crawl(SF_SMALL, out_c, resume=False, n_seen_shards=2,
+                            fetch_concurrency=2, n_chunks=3, _fail_after_chunk=0)
+        epoch.run_crawl(SF_SMALL, out_c, resume=True, n_seen_shards=2,
+                        fetch_concurrency=2, n_chunks=3)
+    fdir = os.path.join(out_c, "frontier/epoch=1")
+    entries = sorted(os.listdir(fdir))
+    assert entries == ["chunk=0", "chunk=1", "chunk=2"]
+    for e in entries:
+        assert all(f.endswith(".parquet")
+                   for f in os.listdir(os.path.join(fdir, e)))
+
+
+def test_robots_deny_path_end_to_end():
+    """A deny-list robots fetcher plugged into run_crawl must keep every
+    denied-host URL out of records, docs AND depth-1 fares, while the
+    rest of the crawl completes normally."""
+    out_c = "/tmp/spider_ray_test/robots_deny"
+    shutil.rmtree(out_c, ignore_errors=True)
+    deny = "bjs.flights.test"                   # the hot host
+    res = epoch.run_crawl(SF_SMALL, out_c, resume=False, n_seen_shards=2,
+                          fetch_concurrency=2,
+                          robots_fetcher=lambda h: h != deny)
+    recs = ray.data.read_parquet(os.path.join(out_c, "records/epoch=0")).to_pandas()
+    assert len(recs) > 0
+    assert (recs["host"] != deny).all()
+    fares = ray.data.read_parquet(os.path.join(out_c, "fares/epoch=1")).to_pandas()
+    assert (fares["host"] != deny).all()
+    # the denied host genuinely existed in the frontier
+    from __spider_ray.stages import expand
+    fr_hosts = set(expand.frontier_dataset(SF_SMALL).to_pandas()["host"])
+    assert deny in fr_hosts
+    assert res["totals"]["docs"] > 0
+
+
 def test_engine_respects_politeness_budget():
     """End-to-end rate limiting: a 1-day crawl with delay_s=0.05 and
     burst=2 must take at least the token-bucket wait of its hottest

@@ -94,6 +94,30 @@ def test_v2_body_is_double_encoded_and_parser_reads_cards():
     assert out["flight_type"][0].as_py() == ("经停" if stops0 else "")
 
 
+def test_real_transport_surface():
+    """The live-HTTP plug point: deterministic cipher shuffle (same key
+    → same suite, different keys → different order, all ciphers kept)
+    and a clean import gate when httpx is absent."""
+    from __spider_ray.stages.fetch import (ORIGIN_CIPHERS, RealTransport,
+                                           shuffled_ciphers)
+    a, b = shuffled_ciphers("session-1"), shuffled_ciphers("session-1")
+    assert a == b                                  # replay-stable
+    c = shuffled_ciphers("session-2")
+    assert a.endswith(":!aNULL:!MD5:!DSS")
+    base = set(ORIGIN_CIPHERS.split(":"))
+    assert set(a.split(":")) - {"!aNULL", "!MD5", "!DSS"} == base
+    assert a != c or len(base) <= 1
+    try:
+        import httpx  # noqa: F401
+        have_httpx = True
+    except ImportError:
+        have_httpx = False
+    if not have_httpx:
+        import pytest
+        with pytest.raises(NotImplementedError, match="httpx"):
+            RealTransport("session-1")
+
+
 def test_uniform01_range():
     u = uniform01(pa.array([f"u{i}" for i in range(1000)]), salt="x")
     assert (u >= 0).all() and (u < 1).all()
