@@ -57,8 +57,10 @@ def commit_chunk(out_dir: str, epoch: int, chunk: int, metrics: dict,
         for i, snap in enumerate(seen_snapshots):
             arrays = {k: np.frombuffer(v, dtype=np.uint8) if isinstance(v, bytes)
                       else np.asarray(v) for k, v in snap.items()}
-            np.savez_compressed(
-                os.path.join(state_dir, f"seen_shard_{i}.npz"), **arrays)
+            # uncompressed savez: gzip of the (mostly-empty) cuckoo
+            # tables costs ~2 s of SERIAL driver time per commit — pure
+            # scaling tax; raw writes are ~10× faster and /tmp is cheap
+            np.savez(os.path.join(state_dir, f"seen_shard_{i}.npz"), **arrays)
         metrics = dict(metrics, seen_snapshot_dir=state_dir)
     tmp = chunk_marker(out_dir, epoch, chunk) + ".tmp"
     with open(tmp, "w") as f:
@@ -103,7 +105,7 @@ def commit_epoch(out_dir: str, epoch: int, metrics: dict,
             path = os.path.join(state_dir, f"seen_shard_{i}.npz")
             arrays = {k: np.frombuffer(v, dtype=np.uint8) if isinstance(v, bytes) else np.asarray(v)
                       for k, v in snap.items()}
-            np.savez_compressed(path, **arrays)
+            np.savez(path, **arrays)    # uncompressed: see commit_chunk
         metrics = dict(metrics, seen_snapshot_dir=state_dir)
     tmp = epoch_marker(out_dir, epoch) + ".tmp"
     with open(tmp, "w") as f:

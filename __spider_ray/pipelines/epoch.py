@@ -45,42 +45,46 @@ from ..state.url_seen import UrlSeenSet
 from ..stages import detail, expand, fetch, parse, spans
 
 
+def seen_filter_batch(batch: pa.Table, seen: UrlSeenSet) -> pa.Table:
+    """Task-flavor seen-filter: in-batch first-occurrence dedup on the
+    vectorized URL hashes, then ONE batched test-and-set round-trip to
+    the authoritative cuckoo shards for the batch's unique hashes.
+
+    Runs as stateless tasks so it FUSES with the downstream fetch→parse
+    chain into one task operator — no actor pool to spin up per pass
+    (~2-4 s of serial startup per epoch), no extra stage boundary, no
+    intermediate blocks through the object store.  Measured: the prior
+    actor-pool flavor's worker-local recent-set saved shard calls only
+    for intra-run repeats, which the in-batch np.unique already
+    collapses; cross-batch repeats are exactly what the shards resolve.
+
+    Exactness note (unchanged from round 1): any local pre-screen must
+    be exact — a bloom pre-check would silently drop its false
+    positives without consulting the shards, losing ~fp-rate of a
+    10^10-URL frontier.  np.unique is exact."""
+    if batch.num_rows == 0:
+        return batch
+    from ..functions.hashing import hash64
+    urls = batch["url"].combine_chunks()
+    h = hash64(urls)
+    # first occurrence of each hash within the batch (np.unique returns
+    # the smallest index per value)
+    _, first_idx = np.unique(h, return_index=True)
+    new = np.zeros(len(h), dtype=bool)
+    new[first_idx] = seen.check_and_add_hashes(h[first_idx])
+    return batch.filter(pa.array(new))
+
+
 class SeenFilterWorker:
-    """Actor-pool seen-filter: worker-local EXACT recent-set pre-check +
-    batched cuckoo-shard test-and-set (one actor call per shard-batch).
-
-    The pre-check must be exact: a bloom filter here would drop its
-    false positives without ever consulting the authoritative shards —
-    at 10^10 scale that silently loses ~fp-rate of the frontier.  (A
-    bloom positive can only be trusted as *maybe seen*; verifying it
-    costs the same shard call it was meant to save.)  So the local
-    cache is a capped set of 64-bit URL hashes this worker has already
-    resolved — exact hits (hash-collision odds ≈ n²/2⁶⁵, negligible)
-    skip the actor round-trip; misses go to the cuckoo shards."""
-
-    MAX_RECENT = 2_000_000          # ~64 MB/worker; cleared when exceeded
+    """Actor-pool wrapper kept for API compatibility / stateful
+    extensions; the epoch loop uses the fused task flavor
+    (``seen_filter_batch``) for throughput."""
 
     def __init__(self, seen: UrlSeenSet):
         self.seen = seen
-        self.recent: set[int] = set()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        from ..functions.hashing import hash64
-        urls = batch["url"].combine_chunks()
-        h = hash64(urls)
-        recent = self.recent
-        cached = np.fromiter((int(x) in recent for x in h), dtype=bool,
-                             count=len(h))
-        new = np.zeros(len(h), dtype=bool)
-        cand = np.nonzero(~cached)[0]
-        if len(cand):
-            new[cand] = self.seen.check_and_add(urls.take(pa.array(cand)))
-            if len(recent) > self.MAX_RECENT:
-                recent.clear()
-            recent.update(int(x) for x in h[cand])   # resolved either way
-        return batch.filter(pa.array(new))
+        return seen_filter_batch(batch, self.seen)
 
 
 def _robots_filter(batch: pa.Table, policy: HostPolicyClient) -> pa.Table:
@@ -183,6 +187,7 @@ def run_crawl(
     salt_hot: bool = False,
     n_chunks: int = 1,
     robots_fetcher=None,
+    verify_unique: bool = False,
     _fail_after_chunk: int | None = None,
 ) -> dict:
     """Run the full crawl; returns the final metrics dict.
@@ -210,7 +215,6 @@ def run_crawl(
     total_cpus = int(_ray.cluster_resources().get("CPU", 8))
     if fetch_concurrency is None:
         fetch_concurrency = max(1, total_cpus // 4)
-    seen_concurrency = max(2, fetch_concurrency // 2)
 
     seen = UrlSeenSet(n_shards=n_seen_shards, n_buckets=seen_buckets)
     # robots_fetcher=None reproduces the reference (allow-all,
@@ -289,13 +293,18 @@ def run_crawl(
 
             # 1. priority shuffle (numeric key: host-hash high bits ⊕
             #    priority low bits)  2. seen semi-join  3. robots mask
+            # The sort runs at depth 0 only: there it IS the crawl-order
+            # contract (§2.6 O4) and the host-locality shuffle.  Depth-1
+            # links inherit that locality for free — each link part is
+            # one parse batch of a host-sorted pass — and detail fetch
+            # has no ordering semantics, so re-sorting would be a pure
+            # all-to-all tax (NOTES_r1 #3, the top scaling cost).
+            ordered = frontier.sort("sort_key") if epoch == 0 else frontier
             fresh = (
-                frontier.sort("sort_key")
-                .map_batches(SeenFilterWorker,
-                             fn_constructor_kwargs={"seen": seen},
+                ordered
+                .map_batches(lambda b: seen_filter_batch(b, seen),
                              batch_format="pyarrow",
-                             batch_size=fetch_batch_size,
-                             concurrency=seen_concurrency, num_cpus=0.25)
+                             batch_size=fetch_batch_size)
                 .map_batches(lambda b: _robots_filter(b, policy),
                              batch_format="pyarrow")
             )
@@ -330,7 +339,8 @@ def run_crawl(
                 # count-verify (A3) + distinct-doc_id idempotence check,
                 # manifest written (sources/doc_store.py)
                 from ..sources import doc_store
-                doc_commit = doc_store.commit_staged_documents(docs_dir)
+                doc_commit = doc_store.commit_staged_documents(
+                    docs_dir, unique_key="doc_id" if verify_unique else None)
                 n_docs = doc_commit["rows"]
                 totals["records"] += n_rec
                 totals["docs"] += n_docs

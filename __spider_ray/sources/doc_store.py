@@ -55,7 +55,7 @@ def write_documents(ds: ray.data.Dataset, path: str,
 
 
 def commit_staged_documents(path: str, expected_rows: int | None = None,
-                            unique_key: str | None = "doc_id") -> dict:
+                            unique_key: str | None = None) -> dict:
     """Commit a directory of parquet parts STAGED by a streaming tee
     (``pipelines/epoch._side_write`` writes doc parts inline during the
     fetch→parse pass so docs never need a second full pipeline run).
@@ -65,9 +65,13 @@ def commit_staged_documents(path: str, expected_rows: int | None = None,
       Lance table at ``<path>.lance`` (the north_rule storage target);
     - the reference's count-verification invariant
       (``YlTwistPipeline.py:166-169``) runs here: written rows must be
-      ≥ ``expected_rows`` when given, and when ``unique_key`` is set the
-      distinct-key count must EQUAL the row count (the ``replace into``
-      idempotence analog — a duplicate or split doc fails the commit);
+      ≥ ``expected_rows`` when given;
+    - ``unique_key`` (opt-in: it costs a full groupby shuffle over the
+      key column) additionally asserts the distinct-key count EQUALS
+      the row count — the ``replace into`` idempotence analog; a
+      duplicate or split doc fails the commit.  The epoch loop turns it
+      on via ``run_crawl(verify_unique=True)``; conformance tests use
+      it, the throughput path keeps the commit metadata-only;
     - the manifest records the verified count.
     """
     staged = ray.data.read_parquet(path, file_extensions=["parquet"])

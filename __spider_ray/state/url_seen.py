@@ -91,6 +91,15 @@ class UrlSeenSet:
     def check_and_add(self, urls: pa.Array | list[str]) -> np.ndarray:
         """Bool mask: True = first sighting (caller should fetch)."""
         h, shard = self._route(urls)
+        return self.check_and_add_hashes(h, shard)
+
+    def check_and_add_hashes(self, h: np.ndarray,
+                             shard: np.ndarray | None = None) -> np.ndarray:
+        """Hash-level flavor: callers that already hold ``hash64(url)``
+        (the seen-filter worker computes it for its local cache) skip
+        the second vectorized hash pass."""
+        if shard is None:
+            shard = ((h >> np.uint64(32)) % np.uint64(self.n_shards)).astype(np.int64)
         new = np.zeros(len(h), dtype=bool)
         refs, idxs = [], []
         for s in range(self.n_shards):

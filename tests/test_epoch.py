@@ -150,8 +150,11 @@ def test_doc_store_manifest_on_crawl_path():
     """The epoch loop's doc writes go through the doc-store commit: each
     chunk's docs dir carries a verified manifest (A3 invariant,
     YlTwistPipeline.py:166-169) whose count matches the parquet rows."""
-    if not os.path.exists(os.path.join(OUT, "epoch=1.json")):
-        _run_fresh()
+    out_u = "/tmp/spider_ray_test/verify_unique"
+    shutil.rmtree(out_u, ignore_errors=True)
+    epoch.run_crawl(SF_SMALL, out_u, resume=False, n_seen_shards=2,
+                    fetch_concurrency=2, max_depth=0, verify_unique=True)
+    OUT = out_u  # noqa: N806 — local shadow, checked dirs below
     from __spider_ray.sources import doc_store
     chunk_dir = os.path.join(OUT, "docs/epoch=0/chunk=0")
     m = doc_store.manifest(chunk_dir)
