@@ -72,8 +72,10 @@ def run_bench() -> dict:
             out.append(_json.dumps({"h": h, "n": int(i) % 7}))
         return _pa.table({"s": _pa.array(out)})
 
+    # 12M rows ≈ 9 s at 8 CPUs / 4 s at 32 — long enough that fixed
+    # startup doesn't understate the 32-CPU side of the ceiling
     t_p = time.perf_counter()
-    rd.range(6_000_000, override_num_blocks=64) \
+    rd.range(12_000_000, override_num_blocks=64) \
       .map_batches(_probe_work, batch_format="pyarrow").count()
     probe_sec = time.perf_counter() - t_p
 
