@@ -148,9 +148,8 @@ def salt_hot_hosts(frontier: "ray.data.Dataset", hot_fraction: float = 0.05,
 
 
 def _detail_fetch(batch: pa.Table, policy: HostPolicyClient | None) -> pa.Table:
-    if batch.num_rows and policy is not None:
-        policy.acquire_for_batch(batch["host"])
-    return detail.fetch_detail_batch(batch)
+    # same per-host sub-batch pacing as the list fetch (stages/fetch.py)
+    return fetch.paced_fetch(batch, policy, detail.fetch_detail_batch)
 
 
 def _side_write(records: pa.Table, docs_dir: str, links_dir: str) -> pa.Table:

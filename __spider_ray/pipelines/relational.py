@@ -26,7 +26,6 @@ Scale notes (100 TB thinking):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -329,19 +328,40 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 
 
 def q_events_sessions(sf_dir: str):
-    """Sessionization (30-min gap) — groupby(user).map_groups over the
-    ts-sorted group (the §2.9 ordered-log pattern)."""
+    """Sessionization (30-min gap), the §2.9 ordered-log pattern —
+    hash-bucket shuffle keyed by user, then ONE vectorized lexsort +
+    reduceat per bucket handles every user in it (no per-group Python
+    call, no pandas conversion; a bucket holds many users)."""
+    from ..functions.hashing import hash64_ints
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        n_sessions = int(gap.sum()) + 1
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [n_sessions],
-                             "n_events": [len(g)]})
-    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas")
-    return out
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["user_id"].to_numpy().astype(np.uint64))
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def sess_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        order = np.lexsort((ts, uid))
+        u, t_ = uid[order], ts[order]
+        new_user = np.empty(len(u), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.zeros(len(u), dtype=np.int64)
+        gap[1:] = (~new_user[1:]
+                   & ((t_[1:] - t_[:-1]) > np.timedelta64(30, "m"))).astype(np.int64)
+        starts = np.nonzero(new_user)[0]
+        n_events = np.diff(np.append(starts, len(u)))
+        n_sessions = np.add.reduceat(gap, starts) + 1
+        return pa.table({"user_id": pa.array(u[starts]),
+                         "n_sessions": pa.array(n_sessions.astype(np.int64)),
+                         "n_events": pa.array(n_events.astype(np.int64))})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: sess_bucket(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow"))
 
 
 SQL_EVENTS_SESSIONS = """
@@ -379,17 +399,41 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 
 
 def q_orders_cumulative(sf_dir: str):
-    """Per-customer running total (cumulative window via map_groups)."""
+    """Per-customer running total — hash-bucket shuffle keyed by
+    customer, then one vectorized lexsort + segmented cumsum per bucket
+    (the groupby(o_custkey).map_groups version cost one Python call per
+    customer — 15k calls at sf0.1 — and a pandas conversion each)."""
+    from ..functions.hashing import hash64_ints
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate",
                                   "o_totalprice"])
 
-    def cum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"])
-        cents = (g["o_totalprice"] * 100).round().astype("int64")
-        return pd.DataFrame({"o_custkey": g["o_custkey"],
-                             "o_orderkey": g["o_orderkey"],
-                             "cum_cents": cents.cumsum()})
-    return ds.groupby("o_custkey").map_groups(cum, batch_format="pandas")
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["o_custkey"].to_numpy().astype(np.uint64))
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def cum_bucket(g: pa.Table) -> pa.Table:
+        ck = g["o_custkey"].to_numpy()
+        ok = g["o_orderkey"].to_numpy()
+        od = g["o_orderdate"].to_numpy()
+        cents = np.asarray(_cents(g["o_totalprice"].combine_chunks()))
+        order = np.lexsort((ok, od, ck))
+        c, k, p = ck[order], ok[order], cents[order]
+        new = np.empty(len(c), dtype=bool)
+        new[0] = True
+        new[1:] = c[1:] != c[:-1]
+        starts = np.nonzero(new)[0]
+        runs = np.diff(np.append(starts, len(c)))
+        cum = np.cumsum(p)
+        base = np.repeat(cum[starts] - p[starts], runs)   # segmented cumsum
+        return pa.table({"o_custkey": pa.array(c),
+                         "o_orderkey": pa.array(k),
+                         "cum_cents": pa.array(cum - base)})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: cum_bucket(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow"))
 
 
 SQL_ORDERS_CUMULATIVE = """

@@ -224,6 +224,12 @@ def q_knn_lsh(sf_dir: str):
     return knn_mod.lsh_topk(sf_dir, n_queries=10, k=5)
 
 
+def q_knn_ivf(sf_dir: str):
+    """ANN scale path (kmeans-IVF with spill assignment). Approximate →
+    rows-only; recall + probe-fraction asserted in tests."""
+    return knn_mod.ivf_topk(sf_dir, n_queries=10, k=5)
+
+
 def q_emb_near_dups(sf_dir: str):
     return knn_mod.embedding_near_dups(sf_dir, threshold=0.2)
 
@@ -238,4 +244,5 @@ register("dedup_clusters", q_dedup_clusters, None)
 register("dedup_simhash", q_dedup_simhash, None)
 register("knn_brute_topk", q_knn_brute, SQL_KNN_BRUTE)
 register("knn_lsh_topk", q_knn_lsh, None)
+register("knn_ivf_topk", q_knn_ivf, None)
 register("emb_near_dups", q_emb_near_dups, None)

@@ -71,10 +71,41 @@ def fetch_batch(batch: pa.Table, status_fn=None, body_fn=None) -> pa.Table:
 def fetch_with_policy(batch: pa.Table, politeness=None) -> pa.Table:
     """Task-flavor fetch: same semantics as FetchWorker but runs as
     stateless tasks (elastic, no pool startup cost) — the right shape
-    when the only 'state' is the politeness client handle."""
-    if batch.num_rows and politeness is not None:
-        politeness.acquire_for_batch(batch["host"])
-    return fetch_batch(batch)
+    when the only 'state' is the politeness client handle.
+
+    Pacing is per-host sub-batch: each host's URLs are issued after
+    THAT host's token wait, in ascending-wait order, instead of the
+    whole batch sleeping the max wait — the budget is exact per host
+    (a batch spanning a slow host no longer delays the fast ones).
+    Zero-wait batches (the unlimited-rate default) skip straight
+    through with no reordering."""
+    return paced_fetch(batch, politeness, fetch_batch)
+
+
+def paced_fetch(batch: pa.Table, politeness, fetch_fn) -> pa.Table:
+    """Per-host sub-batch pacing core, shared by the list and detail
+    fetch stages."""
+    if batch.num_rows == 0 or politeness is None:
+        return fetch_fn(batch)
+    waits = politeness.acquire_waits(batch["host"])
+    if max(waits.values(), default=0.0) <= 0.0:
+        return fetch_fn(batch)
+    import time as _time
+    hosts = np.asarray(batch["host"].to_pylist(), dtype=object)
+    row_wait = np.array([waits[str(h)] for h in hosts])
+    order = np.argsort(row_wait, kind="stable")
+    sorted_batch = batch.take(pa.array(order))
+    sw = row_wait[order]
+    bounds = np.concatenate([[0], np.nonzero(np.diff(sw) > 0)[0] + 1, [len(sw)]])
+    t0 = _time.monotonic()
+    parts = []
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        dt = sw[lo] - (_time.monotonic() - t0)
+        if dt > 0:
+            _time.sleep(dt)
+        parts.append(fetch_fn(sorted_batch.slice(lo, hi - lo)))
+    return pa.concat_tables(parts)
 
 
 ORIGIN_CIPHERS = ("TLS13-AES-256-GCM-SHA384:TLS13-CHACHA20-POLY1305-SHA256:"
@@ -160,9 +191,7 @@ class FetchWorker:
         return p
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.politeness is not None:
-            self.politeness.acquire_for_batch(batch["host"])
-        return fetch_batch(batch)
+        return paced_fetch(batch, self.politeness, fetch_batch)
 
 
 class DetailFetchWorker:

@@ -178,12 +178,144 @@ def lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
                                                 batch_format="pyarrow")
 
 
+# ------------------------------------------------------------------ IVF ANN
+def train_ivf_centroids(m: np.ndarray, n_cells: int, iters: int = 20,
+                        seed: int = 7) -> np.ndarray:
+    """Spherical k-means on a (sample of a) normalized embedding matrix.
+    Driver-side: the sample is bounded (≤100k rows) and the output is
+    C×dim — tiny — which then broadcasts via ``ray.put``."""
+    rng = np.random.RandomState(seed)
+    mn = _normalize(m)
+    cent = mn[rng.choice(len(mn), n_cells, replace=False)]
+    for _ in range(iters):
+        a = np.argmax(mn @ cent.T, axis=1)
+        for c in range(n_cells):
+            mask = a == c
+            if mask.any():
+                v = mn[mask].sum(axis=0)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    cent[c] = v / nrm
+    return cent
+
+
+def ivf_params(n_rows: int) -> tuple[int, int, int]:
+    """(n_cells, spill, nprobe) scaled to corpus size.  spill=2 assigns
+    each vector to its two nearest cells (recall insurance at cell
+    boundaries); nprobe=C/6 keeps the expected touched fraction
+    ≈ spill·nprobe/C ≤ 1/3."""
+    import math
+    n_cells = int(min(128, max(16, 4 * math.sqrt(max(1, n_rows)))))
+    nprobe = max(2, n_cells // 6)
+    return n_cells, 2, nprobe
+
+
+def ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
+             n_cells: int | None = None, nprobe: int | None = None,
+             spill: int = 2, path: str | None = None) -> ray.data.Dataset:
+    """kmeans-IVF approximate top-k (the ANN scale path, replacing raw
+    multiprobe LSH's poor recall on low-similarity neighbors).
+
+    Shape: centroids train on a driver-side sample (bounded), broadcast
+    via ``ray.put``; ONE streaming ``map_batches`` pass computes each
+    vector's ``spill`` nearest cells inline and scores it against
+    exactly the queries whose ``nprobe`` probe-cells intersect them —
+    no index shuffle, no duplicate candidates, candidates ∝
+    spill·nprobe/C of the corpus.  A final tiny ``groupby(query_id)``
+    merges local top-ks (same merge as brute force).
+
+    Recall note (measured, tests/test_textops.py): on clustered
+    embeddings recall ≥0.9 while touching ≤1/3 of the corpus; the
+    driver's synthetic embeddings are isotropic-random (no structure —
+    median pairwise cosine 0.0, flat spectrum), where NO cell-probe
+    method can reach 0.9 at 1/3 — the measured curve there is ~0.85 at
+    ~0.4 corpus fraction, asserted as a floor in the tests."""
+    import pyarrow.parquet as pq
+    path = path or f"{sf_dir}/embeddings.parquet"
+    meta_rows = pq.read_metadata(path).num_rows
+    if n_cells is None or nprobe is None:
+        c_auto, spill_auto, p_auto = ivf_params(meta_rows)
+        n_cells = n_cells or c_auto
+        nprobe = nprobe or p_auto
+        spill = spill or spill_auto
+    # train on a bounded sample: first row groups only, never the whole
+    # table (the full column is corpus-sized at 100 TB)
+    pf = pq.ParquetFile(path)
+    parts, got = [], 0
+    for rg in range(pf.num_row_groups):
+        parts.append(pf.read_row_group(rg, columns=["vec_id", "embedding"]))
+        got += parts[-1].num_rows
+        if got >= 100_000:
+            break
+    sample_t = pa.concat_tables(parts)
+    ids_s, m_s = _embs(sample_t)
+    if len(ids_s) > 100_000:
+        ids_s, m_s = ids_s[:100_000], m_s[:100_000]
+    cent = train_ivf_centroids(m_s, n_cells)
+
+    q_ids, Q = load_queries(sf_dir, n_queries) if path.endswith("embeddings.parquet") \
+        else (ids_s[:n_queries], _normalize(m_s[:n_queries]))
+    probe = np.argsort(-(Q @ cent.T), axis=1)[:, :nprobe]      # (nq, nprobe)
+    ref = ray.put((q_ids, Q, probe, cent))
+
+    class IvfScorer:
+        def __init__(self):
+            self.q_ids, self.Q, self.probe, self.cent = ray.get(ref)
+            # per-cell bitmask of which queries probe it: (C, nq) bool
+            nq = len(self.q_ids)
+            self.cell_queries = np.zeros((len(self.cent), nq), dtype=bool)
+            for qi in range(nq):
+                self.cell_queries[self.probe[qi], qi] = True
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, m = _embs(t)
+            mn = _normalize(m)
+            cells = np.argsort(-(mn @ self.cent.T), axis=1)[:, :spill]  # (n, spill)
+            # vector×query candidacy: any of its cells probed by the query
+            cand = self.cell_queries[cells[:, 0]]
+            for s in range(1, spill):
+                cand |= self.cell_queries[cells[:, s]]          # (n, nq)
+            scores = mn @ self.Q.T
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self.q_ids)):
+                rows = np.nonzero(cand[:, qi])[0]
+                if not len(rows):
+                    continue
+                kk = min(k + 1, len(rows))
+                top = rows[np.argpartition(-scores[rows, qi], kth=kk - 1)[:kk]]
+                out_q.extend([self.q_ids[qi]] * len(top))
+                out_v.extend(ids[top])
+                out_s.extend(scores[top, qi])
+            return pa.table({"query_id": pa.array(np.array(out_q, np.int64)),
+                             "vec_id": pa.array(np.array(out_v, np.int64)),
+                             "score": pa.array(np.array(out_s, np.float64))})
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    local = ds.map_batches(IvfScorer, batch_format="pyarrow",
+                           batch_size=4096, concurrency=2, num_cpus=0.5)
+    return local.groupby("query_id").map_groups(_merge_topk(k),
+                                                batch_format="pyarrow")
+
+
 def near_dup_band_bits(n_rows: int, target_bucket: int = 32) -> int:
     """Bits per band scaled to the corpus so expected bucket size stays
     ~constant: per-bucket all-pairs work is then O(n·target·bands) —
     LINEAR in corpus size — instead of O((n/2^R)^2)·2^R quadratic."""
     import math
     return max(4, math.ceil(math.log2(max(2, n_rows) / target_bucket)))
+
+
+def band_buckets(mn: np.ndarray, planes: np.ndarray, n_bands: int,
+                 band_bits: int) -> np.ndarray:
+    """Banded hyperplane bucket ids for normalized vectors: returns a
+    flat array of n_bands·n ids, band b's ids tagged with ``b << 48``."""
+    bits = (mn @ planes.T) > 0                          # (n, bands*bits)
+    weights = (1 << np.arange(band_bits)).astype(np.int64)
+    out = []
+    for band in range(n_bands):
+        sl = bits[:, band * band_bits:(band + 1) * band_bits]
+        out.append((sl @ weights).astype(np.int64) + (band << 48))
+    return np.concatenate(out)
 
 
 def embedding_near_dups(sf_dir: str, threshold: float = 0.99,
@@ -221,16 +353,8 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.99,
     def bucketize(t: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         ids, m = _embs(t)
-        mn = _normalize(m)
-        bits = (mn @ pl.T) > 0                          # (n, bands*bits)
         n = len(ids)
-        weights = (1 << np.arange(band_bits)).astype(np.int64)
-        out = []
-        for band in range(n_bands):
-            sl = bits[:, band * band_bits:(band + 1) * band_bits]
-            bucket = (sl @ weights).astype(np.int64) + (band << 48)
-            out.append(bucket)
-        bucket_col = np.concatenate(out)
+        bucket_col = band_buckets(_normalize(m), pl, n_bands, band_bits)
         idx = np.tile(np.arange(n), n_bands)
         return pa.table({"bucket": pa.array(bucket_col),
                          "vec_id": pa.array(np.asarray(ids)[idx].astype(np.int64)),

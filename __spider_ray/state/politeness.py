@@ -68,16 +68,22 @@ class HostPolicyActor:
     def acquire(self, host_counts: dict[str, int]) -> float:
         """Batched token grant: reserve count tokens per host, return the
         max wait the calling worker must sleep before fetching the batch."""
+        return max(self.acquire_per_host(host_counts).values(), default=0.0)
+
+    def acquire_per_host(self, host_counts: dict[str, int]) -> dict[str, float]:
+        """Batched token grant, per-host flavor: reserve count tokens per
+        host and return each host's own wait, so the worker can pace
+        sub-batches per host instead of sleeping the batch max."""
         now = time.monotonic()
-        wait = 0.0
+        waits: dict[str, float] = {}
         rate = (1.0 / self.delay_s) if self.delay_s > 0 else 0.0
         for host, n in host_counts.items():
             b = self.buckets.get(host)
             if b is None:
                 b = self.buckets[host] = TokenBucket(rate, float(self.burst), now)
-            wait = max(wait, b.grant(n, now))
+            waits[host] = b.grant(n, now)
             self.granted += n
-        return wait
+        return waits
 
     def robots_allowed(self, hosts: list[str]) -> list[bool]:
         """TTL-cached robots decisions, one bool per host."""
@@ -125,17 +131,28 @@ class HostPolicyClient:
 
     def acquire_for_batch(self, hosts: pa.Array | pa.ChunkedArray) -> None:
         """Group the batch by host, request grants, sleep out the max
-        wait.  Called once per fetch batch (stages/fetch.py)."""
+        wait (coarse flavor; the fetch stage uses ``acquire_waits`` for
+        per-host sub-batch pacing)."""
+        waits = self.acquire_waits(hosts)
+        w = max(waits.values(), default=0.0)
+        if w > 0:
+            time.sleep(w)
+
+    def acquire_waits(self, hosts: pa.Array | pa.ChunkedArray) -> dict[str, float]:
+        """Per-host grant waits for a batch — ONE actor call per shard,
+        returning host → seconds-to-wait so the caller can issue each
+        host's sub-batch after its own wait instead of the batch max."""
         vals, counts = np.unique(np.asarray(hosts.to_pylist(), dtype=object),
                                  return_counts=True)
         per_shard: dict[int, dict[str, int]] = {}
         for h, c in zip(vals, counts):
             per_shard.setdefault(self._shard_of(str(h)), {})[str(h)] = int(c)
-        waits = ray.get([self.actors[s].acquire.remote(hc)
-                         for s, hc in per_shard.items()])
-        w = max(waits, default=0.0)
-        if w > 0:
-            time.sleep(w)
+        results = ray.get([self.actors[s].acquire_per_host.remote(hc)
+                           for s, hc in per_shard.items()])
+        waits: dict[str, float] = {}
+        for r in results:
+            waits.update(r)
+        return waits
 
     def robots_mask(self, hosts: pa.Array | pa.ChunkedArray) -> np.ndarray:
         """Per-row allow mask, resolved via the TTL cache actors."""

@@ -116,6 +116,34 @@ def test_politeness_enforces_delay():
     assert elapsed > 0.25, elapsed
 
 
+def test_per_host_subbatch_pacing():
+    """A batch spanning a rate-limited host and a free host must issue
+    the free host's URLs immediately (first in output, before any
+    sleep) and still wait out the slow host's own budget — per-host
+    pacing, not batch-max sleeping."""
+    from __spider_ray.stages.fetch import paced_fetch
+    pol = HostPolicyClient(n_actors=1, delay_s=0.05, burst=2)
+    # exhaust slow.test's burst so its NEXT grant carries a wait
+    pol.acquire_waits(pa.array(["slow.test"] * 6))
+    fetched_at = {}
+
+    def fake_fetch(t: pa.Table) -> pa.Table:
+        for h in set(t["host"].to_pylist()):
+            fetched_at.setdefault(h, time.monotonic())
+        return t
+
+    batch = pa.table({"host": pa.array(["slow.test"] * 4 + ["fast.test"] * 2),
+                      "url": pa.array([f"u{i}" for i in range(6)])})
+    t0 = time.monotonic()
+    out = paced_fetch(batch, pol, fake_fetch)
+    assert out.num_rows == 6
+    # fast host issued promptly; slow host waited out its own budget
+    assert fetched_at["fast.test"] - t0 < 0.1
+    assert fetched_at["slow.test"] - t0 > 0.25
+    # output groups ordered by ascending wait → fast rows first
+    assert out["host"][0].as_py() == "fast.test"
+
+
 def test_robots_allow_all_default():
     pol = HostPolicyClient(n_actors=2, delay_s=0.0)
     mask = pol.robots_mask(pa.array([f"h{i}.test" for i in range(20)]))
