@@ -32,10 +32,24 @@ corpus AS (
 )"""
 
 
+def _doc_blocks(sf_dir: str) -> int:
+    """Block count scaled to the documents table: Ray's default split
+    of a small single file is ~2×CPUs near-empty blocks, and every
+    downstream sort/groupby pays per-block fixed costs — a 9k-row
+    corpus in 192 blocks made each join shuffle ~10 s.  ~20k rows per
+    block, clamped to [4, 4×CPUs]."""
+    import pyarrow.parquet as pq
+    import ray
+    rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(4, min(rows // 20_000 + 1, 4 * cpus))
+
+
 def corpus(sf_dir: str) -> ray.data.Dataset:
     """documents ∪ exact dups ∪ near dups (deterministic injection)."""
     base = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=_doc_blocks(sf_dir))
 
     def dup5(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
