@@ -137,6 +137,47 @@ FROM h
 """
 
 
+def q_quality_filter(sf_dir: str):
+    """Gopher/C4-style quality FILTER chain (not just scoring): keep
+    docs with sane length, ≥2% stopword ratio and ≤10% digit tokens —
+    integer-exact rules over the quality signals, applied in the same
+    vectorized pass."""
+    ds = corpus(sf_dir).map_batches(tx.text_quality_batch, batch_format="pyarrow")
+
+    def keep(t: pa.Table) -> pa.Table:
+        tok = t["tok_n"]
+        ok = pc.and_(pc.and_(
+            pc.greater_equal(tok, 20), pc.less_equal(tok, 80)),
+            pc.and_(
+                pc.greater_equal(pc.multiply(t["stop_n"], 50), tok),
+                pc.less_equal(pc.multiply(t["digit_tok_n"], 10), tok)))
+        return t.filter(ok)
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_QUALITY_FILTER = f"""WITH {CORPUS_CTE.strip()},
+q AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n,
+    CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_EN}))) AS BIGINT) AS stop_n,
+    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq_n,
+    CAST(list_max(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS max_tok_len,
+    CAST(len(list_filter(string_split(text, ' '), x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS digit_tok_n
+  FROM corpus
+)
+SELECT * FROM q
+WHERE tok_n BETWEEN 20 AND 80 AND stop_n*50 >= tok_n AND digit_tok_n*10 <= tok_n
+"""
+
+
+def q_winnow(sf_dir: str):
+    """Winnowing rolling-hash fingerprints (Schleimer et al. 2003) —
+    per-doc distinct-fp count, XOR digest and min fp.  Rows-only (a
+    sliding-window-min over rolling hashes is not SQL-expressible);
+    exactness vs a naive reference implementation is pytest-asserted."""
+    return corpus(sf_dir).map_batches(tx.winnow_batch, batch_format="pyarrow")
+
+
 def q_fingerprint(sf_dir: str):
     return corpus(sf_dir).map_batches(tx.fingerprint_batch, batch_format="pyarrow")
 
@@ -252,6 +293,8 @@ register("text_stats", q_text_stats, SQL_TEXT_STATS)
 register("text_quality", q_text_quality, SQL_TEXT_QUALITY)
 register("text_lang_id", q_lang_id, SQL_LANG_ID)
 register("text_fingerprint", q_fingerprint, SQL_FINGERPRINT)
+register("text_quality_filter", q_quality_filter, SQL_QUALITY_FILTER)
+register("text_winnow", q_winnow, None)
 register("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT)
 register("dedup_minhash", q_dedup_minhash, None)
 register("dedup_clusters", q_dedup_clusters, None)

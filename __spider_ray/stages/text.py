@@ -10,6 +10,7 @@ oracle matches exactly (no float-ratio hashing hazards).
 
 from __future__ import annotations
 
+import numpy as np
 import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -93,6 +94,102 @@ def lang_id_batch(t: pa.Table) -> pa.Table:
         *[pl.col(f"hits_{lang}") for lang in LANG_ORDER],
     )
     return out.to_arrow()
+
+
+WINNOW_K = 8     # k-gram length in bytes (lowercased UTF-8)
+WINNOW_W = 4     # winnowing window (Schleimer et al., SIGMOD 2003)
+_WB = np.uint64(1099511628211)        # Rabin-Karp polynomial base
+
+
+def _kgram_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """Rolling k-gram hashes of a byte array, Horner-vectorized: k
+    NumPy passes over the whole batch, no per-position Python."""
+    n = len(data) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    h = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = h * _WB + data[j:j + n].astype(np.uint64)
+    return h
+
+
+def winnow_batch(t: pa.Table, k: int = WINNOW_K, w: int = WINNOW_W) -> pa.Table:
+    """Winnowing document fingerprints (rolling-hash selection): hash
+    every k-byte gram, then keep the minimum hash of each window of w
+    consecutive grams — any substring match of length ≥ w+k-1 between
+    two documents is guaranteed to share a fingerprint.
+
+    Vectorized across the WHOLE batch: documents are concatenated into
+    one byte array, hashed in k Horner passes, windows swept with one
+    ``sliding_window_view`` min; k-grams and windows that straddle a
+    document boundary are masked out by comparing the doc index at both
+    span ends.  Output per doc: distinct-fingerprint count + an
+    order-independent XOR digest + the minimum fingerprint (compact,
+    joinable summaries — the exploded (doc_id, fp) pairs feed dedup).
+    """
+    doc_ids = t["doc_id"].cast(pa.int64()).to_numpy()
+    texts = [s.encode("utf-8") for s in
+             pc.utf8_lower(t["text"]).to_pylist()]
+    lens = np.array([len(b) for b in texts], dtype=np.int64)
+    data = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    doc_of = np.repeat(np.arange(len(texts)), lens)
+
+    span = w + k - 1
+    n_pos = len(data) - k + 1
+    out_doc: np.ndarray = np.empty(0, dtype=np.int64)
+    out_fp: np.ndarray = np.empty(0, dtype=np.uint64)
+    if n_pos > 0:
+        h = _kgram_hashes(data, k)
+        valid = doc_of[:n_pos] == doc_of[k - 1:k - 1 + n_pos]
+        hv = np.where(valid, h, np.uint64(0xFFFFFFFFFFFFFFFF))
+        if len(hv) >= w:
+            from numpy.lib.stride_tricks import sliding_window_view
+            mins = sliding_window_view(hv, w).min(axis=1)
+            n_win = len(mins)
+            win_ok = doc_of[:n_win] == doc_of[span - 1:span - 1 + n_win]
+            sel_doc = doc_of[:n_win][win_ok]
+            sel_fp = mins[win_ok]
+            # distinct (doc, fp) — one lexsort over the batch
+            order = np.lexsort((sel_fp, sel_doc))
+            d_s, f_s = sel_doc[order], sel_fp[order]
+            first = np.empty(len(d_s), dtype=bool)
+            if len(first):
+                first[0] = True
+                first[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
+            out_doc, out_fp = d_s[first], f_s[first]
+
+    n_docs = len(texts)
+    n_fps = np.bincount(out_doc, minlength=n_docs).astype(np.int64)
+    xor_fp = np.zeros(n_docs, dtype=np.uint64)
+    min_fp = np.full(n_docs, 0, dtype=np.uint64)
+    if len(out_doc):
+        np.bitwise_xor.at(xor_fp, out_doc, out_fp)
+        starts = np.nonzero(np.concatenate(
+            [[True], out_doc[1:] != out_doc[:-1]]))[0]
+        min_fp[out_doc[starts]] = out_fp[starts]   # sorted → first = min
+    return pa.table({
+        "doc_id": pa.array(doc_ids),
+        "n_fps": pa.array(n_fps),
+        "min_fp": pa.array(min_fp.astype(np.int64)),
+        "xor_fp": pa.array(xor_fp.astype(np.int64)),
+    })
+
+
+def winnow_naive(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> set[int]:
+    """Reference winnowing (plain Python) — test oracle only."""
+    b = text.lower().encode("utf-8")
+    if len(b) < k:
+        return set()
+    hs = []
+    for i in range(len(b) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * int(_WB) + b[i + j]) & 0xFFFFFFFFFFFFFFFF
+        hs.append(h)
+    if len(hs) < w:
+        return set()
+    return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
 
 
 def fingerprint_batch(t: pa.Table) -> pa.Table:

@@ -175,6 +175,57 @@ def test_embedding_near_dup_buckets_stay_bounded_at_10x():
     assert stats[10000][2] <= 12 * stats[1000][2], stats
 
 
+def test_winnow_matches_naive_reference():
+    """The batch-vectorized winnowing must equal the plain-Python
+    reference on every doc: same distinct-fp count, same XOR digest,
+    same minimum fingerprint."""
+    import pyarrow as pa
+
+    from __spider_ray.stages.text import winnow_batch, winnow_naive
+    docs = ["the quick brown fox jumps over the lazy dog",
+            "a" * 30,                     # degenerate repeated content
+            "short",                      # below k → no fingerprints
+            "the quick brown fox jumps over the lazy dog today",  # near-dup
+            "数字 mixed 内容 with unicode 字符 and spaces here ok"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = winnow_batch(t).to_pandas().set_index("doc_id")
+    for i, d in enumerate(docs):
+        want = winnow_naive(d)
+        assert got.loc[i, "n_fps"] == len(want), (i, d)
+        xor = 0
+        for f in want:
+            xor ^= f
+        assert got.loc[i, "xor_fp"] == np.int64(np.uint64(xor).astype(np.int64)), i
+        if want:
+            assert np.uint64(got.loc[i, "min_fp"]) == min(want), i
+
+
+def test_winnow_shared_substring_guarantee():
+    """Winnowing's core property: documents sharing a substring of
+    length ≥ w+k-1 share at least one fingerprint; unrelated random
+    docs share (almost) none."""
+    from __spider_ray.stages.text import WINNOW_K, WINNOW_W, winnow_naive
+    shared = "this exact phrase is long enough to guarantee overlap"
+    assert len(shared) >= WINNOW_W + WINNOW_K - 1
+    a = winnow_naive("prefix one " + shared + " suffix alpha")
+    b = winnow_naive("totally different start " + shared + " another end")
+    assert a & b, "shared substring must share a fingerprint"
+    c = winnow_naive("qwertyuiop zxcvbnm 0987654321 lkjhgfdsa mnbvcx")
+    assert len(a & c) == 0
+
+
+def test_quality_filter_chain():
+    out = textops.q_quality_filter(SF_SMALL).to_pandas()
+    assert len(out) > 0
+    assert (out["tok_n"] >= 20).all() and (out["tok_n"] <= 80).all()
+    assert (out["stop_n"] * 50 >= out["tok_n"]).all()
+    assert (out["digit_tok_n"] * 10 <= out["tok_n"]).all()
+    # it actually filters something
+    full = textops.q_text_quality(SF_SMALL).to_pandas()
+    assert len(out) < len(full)
+
+
 def test_exact_dedup_counts():
     out = textops.q_dedup_exact(SF_SMALL).to_pandas()
     corpus = _corpus_texts()
