@@ -246,6 +246,65 @@ def _media_meta(sf_dir: str):
     return decoded.map_batches(media.resize_plan_batch, batch_format="pyarrow")
 
 
+def _media_pixels(sf_dir: str):
+    """Full multimodal pixel pipeline, REAL compute end-to-end: media
+    spans → payload fetch (synthetic BMP bytes, a pure function of the
+    ref) → numpy BMP decode → actor-pool feature extraction (4×4 pooled
+    grayscale grid) → nearest-neighbor resize to ≤64px — no imaging
+    library, actual pixel arrays at every step.  Rows-only (the pooled
+    means aren't practically SQL-expressible); exactness is pytest-
+    asserted against per-image numpy references."""
+    from ..stages import media
+    spans = crawl.exploded_spans(sf_dir)
+    refs = spans.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "media"))
+                   .select(["doc_id", "media_ref"]),
+        batch_format="pyarrow")
+
+    def attach_payload(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "payload", pa.array([media.synth_bmp(r)
+                                 for r in t["media_ref"].to_pylist()],
+                                pa.binary()))
+
+    def resize_stats(t: pa.Table) -> pa.Table:
+        import numpy as np
+        means = []
+        for p, tw, th in zip(t["payload"].to_pylist(),
+                             t["target_w"].to_pylist(),
+                             t["target_h"].to_pylist()):
+            img = media.resize_nearest(media.decode_bmp(p), int(tw), int(th))
+            means.append(int(round(float(img.mean()) * 100)))
+        out = t.drop_columns(["payload"])
+        return out.append_column("resized_mean_centi", pa.array(means, pa.int64()))
+
+    withpix = refs.map_batches(attach_payload, batch_format="pyarrow",
+                               batch_size=media.MEDIA_BATCH_SIZE)
+    decoded = withpix.map_batches(media.MediaDecodeWorker,
+                                  batch_format="pyarrow",
+                                  batch_size=media.MEDIA_BATCH_SIZE,
+                                  concurrency=2, num_cpus=0.5)
+    feat = decoded.map_batches(media.MediaFeatureWorker,
+                               batch_format="pyarrow",
+                               batch_size=media.MEDIA_BATCH_SIZE,
+                               concurrency=2, num_cpus=0.5)
+    planned = feat.map_batches(
+        lambda t: media.resize_plan_batch(t, max_side=64),
+        batch_format="pyarrow")
+    final = planned.map_batches(resize_stats, batch_format="pyarrow")
+    return final.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"], "media_ref": t["media_ref"],
+            "width": t["width"], "height": t["height"],
+            "target_w": t["target_w"], "target_h": t["target_h"],
+            "resized_mean_centi": t["resized_mean_centi"],
+            "feat_head_milli": pa.compute.cast(pa.compute.round(
+                pa.compute.multiply(
+                    pa.compute.list_element(t["feature"], 0), 1000.0)),
+                pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def _crawl_documents(sf_dir: str):
     """Nested span docs (rows-only check; values verified via
     crawl_spans' flat projection and pytest span-sequence tests)."""
@@ -329,6 +388,7 @@ JOIN apdim a1 ON r.from_city_code = a1.ap_code
 JOIN apdim a2 ON r.to_city_code = a2.ap_code"""
     register("crawl_flights_enriched", _crawl_flights_enriched, enriched_sql)
     register("media_meta", _media_meta, media_sql)
+    register("media_pixels", _media_pixels, None)
     register("crawl_cabins", _crawl_cabins, _CRAWL_SQL["crawl_cabins"])
     register("crawl_lowest_fare", _crawl_lowest_fare, _CRAWL_SQL["crawl_lowest_fare"])
     register("crawl_flights_full", _crawl_flights_full, _CRAWL_SQL["crawl_flights_full"])

@@ -137,3 +137,56 @@ def test_credentials_refresh_and_invalidate():
 def test_proxy_rotation():
     w = FetchWorker(proxies=["p0", "p1", "p2"])
     assert [w.next_proxy() for _ in range(5)] == ["p0", "p1", "p2", "p0", "p1"]
+
+
+def test_bmp_codec_roundtrip_and_resize():
+    """The numpy BMP codec must round-trip pixels exactly (incl. the
+    4-byte row padding and bottom-up row order) and resize must gather
+    the expected nearest-neighbor pixels."""
+    import numpy as np
+
+    from __spider_ray.stages import media
+    rng = np.random.RandomState(5)
+    for w, h in [(3, 2), (17, 9), (64, 33)]:   # odd widths hit padding
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.uint8)
+        back = media.decode_bmp(media.encode_bmp(img))
+        assert back.shape == (h, w, 3)
+        assert (back == img).all(), (w, h)
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    small = media.resize_nearest(img, 3, 2)
+    assert small.shape == (2, 3, 3)
+    assert (small[0, 0] == img[0, 0]).all()
+    assert (small[1, 2] == img[2, 4]).all()
+
+
+def test_media_pixel_pipeline_real_decode():
+    """End-to-end pixel path: synthetic BMP payloads decode to their
+    true dims (not the metadata fake), pooled-grid features match a
+    per-image numpy reference, and the query runs over real spans."""
+    import numpy as np
+
+    from __spider_ray.pipelines.queries import _media_pixels
+    from __spider_ray.stages import media
+    ref = "captcha://deadbeef01234567"
+    payload = media.synth_bmp(ref)
+    img = media.decode_bmp(payload)
+    batch = pa.table({"media_ref": pa.array([ref]),
+                      "payload": pa.array([payload], pa.binary())})
+    out = media.MediaDecodeWorker()(batch)
+    assert out["width"][0].as_py() == img.shape[1]
+    assert out["height"][0].as_py() == img.shape[0]
+    feat = media.MediaFeatureWorker()(out)
+    f = np.array(feat["feature"][0].as_py())
+    gray = img.astype(np.float64).mean(axis=2)
+    hh, ww = gray.shape
+    ys = (np.arange(5) * hh) // 4
+    xs = (np.arange(5) * ww) // 4
+    want = np.array([gray[ys[a]:ys[a + 1], xs[b]:xs[b + 1]].mean()
+                     for a in range(4) for b in range(4)])
+    want /= np.linalg.norm(want)
+    assert np.allclose(f, want)
+    res = _media_pixels(SF_SMALL).to_pandas()
+    assert len(res) > 0
+    assert (res["width"] >= 16).all() and (res["width"] <= 63).all()
+    assert (res["target_w"] <= 64).all() and (res["target_h"] <= 64).all()
+    assert res["resized_mean_centi"].between(0, 25500).all()
