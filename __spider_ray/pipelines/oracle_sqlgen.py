@@ -92,6 +92,17 @@ fetched AS (
 )"""
 
 _H2 = "md5(url || '#' || CAST(f.flight_idx AS VARCHAR))"
+# the icsf shared-flight filter applies to the JSON parse path
+# (ylSpider06.py:331-334); the rendered-HTML path extracts the RAW page
+FLIGHTS_RAW_CTE = f"""
+flights AS (
+  SELECT fetched.*, CAST(f.flight_idx AS BIGINT) AS flight_idx,
+    'doc-' || md5(url) AS doc_id,
+    {_H2} AS h2
+  FROM fetched
+  CROSS JOIN (SELECT range AS flight_idx FROM range(5)) f
+  WHERE fetched.status = 200 AND f.flight_idx < fetched.n_flights
+),"""
 FLIGHTS_CTE = f"""
 flights AS (
   SELECT fetched.*, CAST(f.flight_idx AS BIGINT) AS flight_idx,
@@ -148,6 +159,33 @@ spans AS (
   FROM records
   CROSS JOIN (SELECT range AS slot FROM range(7)) s
   WHERE s.slot < 6 OR (s.slot = 6 AND records.media_ref IS NOT NULL)
+)"""
+
+
+# ----------------------------------------------------- rendered-HTML spans
+_END_TOT = (f"((({_hx('h2', 5, 2)} % 24) * 60 + ({_hx('h2', 7, 2)} % 12) * 5"
+            f" + 60 + {_hx('h2', 9, 2)} % 180) % 1440)")
+RENDER_SPANS_CTE = f"""
+rfields AS (
+  SELECT doc_id, flight_idx,
+    {_case_list(f"{_hx('h2', 0, 1)} % 6", _COMPANY_NAMES)} AS company,
+    printf('%02d:%02d', {_hx('h2', 5, 2)} % 24, ({_hx('h2', 7, 2)} % 12) * 5)
+      || '-' || printf('%02d:%02d', {_END_TOT} // 60, {_END_TOT} % 60) AS timespan,
+    CAST(200 + {_hx('h2', 11, 4)} % 1800 AS VARCHAR) AS price,
+    CASE WHEN {_hx('h2', 20, 1)} = 0 THEN 'captcha://' || substr(h2, 1, 16)
+         ELSE NULL END AS media_ref
+  FROM flights
+),
+rspans AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY flight_idx, s.slot) - 1
+         AS BIGINT) AS "offset",
+    CASE WHEN s.slot = 3 THEN 'media' ELSE 'text' END AS kind,
+    CASE s.slot WHEN 0 THEN company WHEN 1 THEN timespan
+                WHEN 2 THEN price ELSE NULL END AS text,
+    CASE WHEN s.slot = 3 THEN rfields.media_ref ELSE NULL END AS media_ref
+  FROM rfields CROSS JOIN (SELECT range AS slot FROM range(4)) s
+  WHERE s.slot < 3 OR (s.slot = 3 AND rfields.media_ref IS NOT NULL)
 )"""
 
 
@@ -257,3 +295,5 @@ CRAWL_DETAIL = with_chain(SEEDS_CTE, FRONTIER_CTE, FETCH_CTE, FLIGHTS_CTE, DETAI
 CRAWL_FARES = with_chain(SEEDS_CTE, FRONTIER_CTE, FETCH_CTE, FLIGHTS_CTE,
                          DETAIL_CTE, FARES_CTE)
 CRAWL_V2 = with_chain(SEEDS_CTE, FRONTIER_V2_CTE, FETCH_V2_CTE, FLIGHTS_V2_CTE)
+CRAWL_RENDER = with_chain(SEEDS_CTE, FRONTIER_CTE, FETCH_CTE,
+                          FLIGHTS_RAW_CTE + RENDER_SPANS_CTE)

@@ -246,6 +246,24 @@ def _media_meta(sf_dir: str):
     return decoded.map_batches(media.resize_plan_batch, batch_format="pyarrow")
 
 
+def _crawl_rendered_spans(sf_dir: str):
+    """M13/S4 — the RENDER path end-to-end with an oracle: frontier →
+    RenderWorker actor pool (synthetic rendered HTML; selenium
+    import-gated) → stdlib streaming HTML span extraction → exploded
+    spans.  The raw page is extracted (no icsf filter — that is JSON
+    parse semantics), so the oracle derives from the unfiltered
+    flights CTE."""
+    from ..stages import html_extract, render
+    from ..stages import spans as sp
+    ds = crawl.frontier(sf_dir)
+    rendered = ds.map_batches(render.RenderWorker, batch_format="pyarrow",
+                              batch_size=1024, concurrency=4, num_cpus=0.5)
+    docs = rendered.map_batches(html_extract.html_to_docs_batch,
+                                batch_format="pyarrow")
+    return _cast_int64(docs.map_batches(sp.explode_spans,
+                                        batch_format="pyarrow"), ["offset"])
+
+
 def _media_pixels(sf_dir: str):
     """Full multimodal pixel pipeline, REAL compute end-to-end: media
     spans → payload fetch (synthetic BMP bytes, a pure function of the
@@ -389,6 +407,9 @@ JOIN apdim a2 ON r.to_city_code = a2.ap_code"""
     register("crawl_flights_enriched", _crawl_flights_enriched, enriched_sql)
     register("media_meta", _media_meta, media_sql)
     register("media_pixels", _media_pixels, None)
+    register("crawl_rendered_spans", _crawl_rendered_spans,
+             f"{osql.CRAWL_RENDER} SELECT doc_id, \"offset\", kind, text, "
+             "media_ref FROM rspans")
     register("crawl_cabins", _crawl_cabins, _CRAWL_SQL["crawl_cabins"])
     register("crawl_lowest_fare", _crawl_lowest_fare, _CRAWL_SQL["crawl_lowest_fare"])
     register("crawl_flights_full", _crawl_flights_full, _CRAWL_SQL["crawl_flights_full"])
