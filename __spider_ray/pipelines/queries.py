@@ -323,6 +323,52 @@ def _media_pixels(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def _media_refs(sf_dir: str):
+    spans = crawl.exploded_spans(sf_dir)
+    return spans.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "media"))
+                   .select(["doc_id", "media_ref"]),
+        batch_format="pyarrow")
+
+
+def _media_audio(sf_dir: str):
+    """Audio analog of media_pixels: synthetic PCM WAV payloads → numpy
+    decode → actor-pool clip features (duration/RMS/peak/zero-
+    crossings).  Rows-only; codec + feature parity pytest-asserted."""
+    from ..stages import media
+
+    def attach(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "payload", pa.array([media.synth_wav(r)
+                                 for r in t["media_ref"].to_pylist()],
+                                pa.binary()))
+    return (_media_refs(sf_dir)
+            .map_batches(attach, batch_format="pyarrow",
+                         batch_size=media.MEDIA_BATCH_SIZE)
+            .map_batches(media.AudioFeatureWorker, batch_format="pyarrow",
+                         batch_size=media.MEDIA_BATCH_SIZE,
+                         concurrency=2, num_cpus=0.5))
+
+
+def _media_frames(sf_dir: str):
+    """Video frame-sampling: synthetic multi-frame containers → decode
+    ONLY every 2nd frame via the index (the demuxer access pattern) →
+    per-item sampled-frame stats.  Rows-only; pytest-asserted."""
+    from ..stages import media
+
+    def attach(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "payload", pa.array([media.synth_video(r)
+                                 for r in t["media_ref"].to_pylist()],
+                                pa.binary()))
+    return (_media_refs(sf_dir)
+            .map_batches(attach, batch_format="pyarrow",
+                         batch_size=media.MEDIA_BATCH_SIZE)
+            .map_batches(media.FrameSampleWorker, batch_format="pyarrow",
+                         batch_size=media.MEDIA_BATCH_SIZE,
+                         concurrency=2, num_cpus=0.5))
+
+
 def _crawl_documents(sf_dir: str):
     """Nested span docs (rows-only check; values verified via
     crawl_spans' flat projection and pytest span-sequence tests)."""
@@ -407,6 +453,8 @@ JOIN apdim a2 ON r.to_city_code = a2.ap_code"""
     register("crawl_flights_enriched", _crawl_flights_enriched, enriched_sql)
     register("media_meta", _media_meta, media_sql)
     register("media_pixels", _media_pixels, None)
+    register("media_audio", _media_audio, None)
+    register("media_frames", _media_frames, None)
     register("crawl_rendered_spans", _crawl_rendered_spans,
              f"{osql.CRAWL_RENDER} SELECT doc_id, \"offset\", kind, text, "
              "media_ref FROM rspans")

@@ -105,6 +105,125 @@ def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+# ------------------------------------------------------------ WAV codec
+# Audio as an opaque binary column with a REAL decode path: 16-bit PCM
+# WAV is a 44-byte RIFF header + little-endian samples — struct +
+# np.frombuffer, no audio library.
+
+def synth_wav(media_ref: str, rate: int = 8000) -> bytes:
+    """Deterministic mono PCM clip for a ref: length and tone frequency
+    from the ref hash, plus seeded noise (pure function of the ref)."""
+    h = hashlib.md5(media_ref.encode()).hexdigest()
+    n = rate // 4 + int(h[8:12], 16) % rate          # 0.25-1.25 s
+    freq = 100 + int(h[12:16], 16) % 900
+    rng = np.random.RandomState(int(h[16:24], 16))
+    t = np.arange(n, dtype=np.float64) / rate
+    wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(n)
+    pcm = np.clip(wave * 32767, -32768, 32767).astype("<i2")
+    return encode_wav(pcm, rate)
+
+
+def encode_wav(pcm: np.ndarray, rate: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE bytes."""
+    import struct
+    data = pcm.astype("<i2").tobytes()
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE",
+                      b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+                      b"data", len(data))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes → (int16 samples, sample_rate)."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt, channels, rate = struct.unpack_from("<HHI", payload, 20)
+    if fmt != 1 or channels != 1:
+        raise ValueError("only mono PCM supported")
+    n = struct.unpack_from("<I", payload, 40)[0] // 2
+    return np.frombuffer(payload, dtype="<i2", count=n, offset=44), rate
+
+
+def audio_features(pcm: np.ndarray, rate: int) -> dict:
+    """Vectorized clip features: duration, RMS, zero-crossing count,
+    peak — the audio analog of the pooled image grid."""
+    x = pcm.astype(np.float64) / 32768.0
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return {
+        "n_samples": int(len(x)),
+        "duration_ms": int(len(x) * 1000 // rate),
+        "rms_milli": int(round(float(np.sqrt(np.mean(x ** 2))) * 1000)),
+        "peak_milli": int(round(float(np.abs(x).max()) * 1000)),
+        "zero_crossings": zc,
+    }
+
+
+# ------------------------------------------------------- video frame-sample
+# Synthetic "video" = concatenated BMP frames behind a tiny index
+# header; frame-sampling reads ONLY the selected frames' byte ranges —
+# the access pattern a real container demuxer gives you.
+
+def synth_video(media_ref: str) -> bytes:
+    """4-12 BMP frames derived from the ref (frame i varies the ref)."""
+    import struct
+    h = hashlib.md5(media_ref.encode()).hexdigest()
+    n_frames = 4 + int(h[24:26], 16) % 9
+    frames = [synth_bmp(f"{media_ref}#frame{i}") for i in range(n_frames)]
+    index = struct.pack("<4sI", b"SVID", n_frames) + b"".join(
+        struct.pack("<I", len(f)) for f in frames)
+    return index + b"".join(frames)
+
+
+def sample_frames(payload: bytes, every: int = 2) -> list[np.ndarray]:
+    """Decode every ``every``-th frame only (offsets from the index —
+    untouched frames' bytes are never parsed)."""
+    import struct
+    if payload[:4] != b"SVID":
+        raise ValueError("not a synthetic video payload")
+    n_frames = struct.unpack_from("<I", payload, 4)[0]
+    sizes = struct.unpack_from(f"<{n_frames}I", payload, 8)
+    offsets = np.concatenate([[0], np.cumsum(sizes)]) + 8 + 4 * n_frames
+    return [decode_bmp(payload[offsets[i]:offsets[i + 1]])
+            for i in range(0, n_frames, every)]
+
+
+class AudioFeatureWorker:
+    """Actor-pool audio stage: decode WAV payloads and emit clip
+    features (codec tables / models would load once here)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [audio_features(*decode_wav(p))
+                 for p in batch["payload"].to_pylist()]
+        out = batch.drop_columns(["payload"])
+        for k in ("n_samples", "duration_ms", "rms_milli", "peak_milli",
+                  "zero_crossings"):
+            out = out.append_column(k, pa.array([f[k] for f in feats],
+                                                pa.int64()))
+        return out
+
+
+class FrameSampleWorker:
+    """Actor-pool video stage: sample every Nth frame, emit per-item
+    frame count and the sampled frames' mean-gray sequence digest."""
+
+    def __init__(self, every: int = 2):
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_sampled, mean_centi = [], []
+        for p in batch["payload"].to_pylist():
+            frames = sample_frames(p, self.every)
+            n_sampled.append(len(frames))
+            mean_centi.append(int(round(float(np.mean(
+                [f.astype(np.float64).mean() for f in frames])) * 100)))
+        out = batch.drop_columns(["payload"])
+        return out.append_column(
+            "n_sampled_frames", pa.array(n_sampled, pa.int64())
+        ).append_column(
+            "sampled_mean_centi", pa.array(mean_centi, pa.int64()))
+
+
 def fake_dims(media_ref: str) -> tuple[int, int]:
     """Deterministic (width, height) — mirrors in SQL as
     ``100 + hx(md5(ref),0,4) % 1180`` / ``100 + hx(md5(ref),4,4) % 620``."""

@@ -190,3 +190,42 @@ def test_media_pixel_pipeline_real_decode():
     assert (res["width"] >= 16).all() and (res["width"] <= 63).all()
     assert (res["target_w"] <= 64).all() and (res["target_h"] <= 64).all()
     assert res["resized_mean_centi"].between(0, 25500).all()
+
+
+def test_wav_codec_and_audio_features():
+    import numpy as np
+
+    from __spider_ray.stages import media
+    rate = 8000
+    pcm = (np.sin(2 * np.pi * 440 * np.arange(4000) / rate) * 20000).astype("<i2")
+    back, r2 = media.decode_wav(media.encode_wav(pcm, rate))
+    assert r2 == rate and (back == pcm).all()
+    f = media.audio_features(pcm, rate)
+    assert f["n_samples"] == 4000 and f["duration_ms"] == 500
+    # RMS of a sine ≈ amplitude/√2
+    assert abs(f["rms_milli"] - round(20000 / 32768 / np.sqrt(2) * 1000)) <= 2
+    # 440 Hz over 0.5 s → ~440 zero crossings
+    assert 400 <= f["zero_crossings"] <= 480
+    # synthetic payloads are pure functions of the ref
+    assert media.synth_wav("captcha://x") == media.synth_wav("captcha://x")
+
+
+def test_video_frame_sampling():
+    import numpy as np
+
+    from __spider_ray.stages import media
+    ref = "captcha://feedface87654321"
+    payload = media.synth_video(ref)
+    every = media.sample_frames(payload, 1)
+    sampled = media.sample_frames(payload, 2)
+    assert len(sampled) == (len(every) + 1) // 2
+    for i, fr in enumerate(sampled):
+        want = media.decode_bmp(media.synth_bmp(f"{ref}#frame{2 * i}"))
+        assert (fr == want).all()
+    batch = pa.table({"media_ref": pa.array([ref]),
+                      "payload": pa.array([payload], pa.binary())})
+    out = media.FrameSampleWorker(every=2)(batch)
+    assert out["n_sampled_frames"][0].as_py() == len(sampled)
+    want_mean = int(round(float(np.mean(
+        [f.astype(np.float64).mean() for f in sampled])) * 100))
+    assert out["sampled_mean_centi"][0].as_py() == want_mean
