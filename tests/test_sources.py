@@ -61,3 +61,33 @@ def test_doc_store_count_verification(tmp_path):
     ds = ray.data.from_items([{"doc_id": "a", "x": 1}])
     with pytest.raises(RuntimeError, match="verification failed"):
         doc_store.write_documents(ds, str(tmp_path / "short"), expected_rows=10)
+
+
+def test_engine_config_from_ini(tmp_path):
+    """INI config surface (the reference's flight_spider_config.ini
+    analog): partial files override only named keys; the deny list
+    builds a robots fetcher; kwargs drive run_crawl end-to-end."""
+    from __spider_ray.config import EngineConfig
+    p = tmp_path / "engine.ini"
+    p.write_text("""
+[crawl]
+delay_s = 0.25
+burst = 3
+n_chunks = 2
+[state]
+n_seen_shards = 2
+[robots]
+deny_hosts = bad.test, worse.test
+""")
+    cfg = EngineConfig.from_ini(str(p))
+    assert cfg.delay_s == 0.25 and cfg.burst == 3 and cfg.n_chunks == 2
+    assert cfg.n_seen_shards == 2
+    assert cfg.fetch_batch_size == 4096          # untouched default
+    fetcher = cfg.robots_fetcher()
+    assert fetcher("bad.test") is False and fetcher("ok.test") is True
+    kw = cfg.crawl_kwargs()
+    assert kw["delay_s"] == 0.25
+    assert kw["robots_fetcher"]("worse.test") is False
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        EngineConfig.from_ini(str(tmp_path / "missing.ini"))
