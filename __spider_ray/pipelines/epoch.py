@@ -152,21 +152,24 @@ def _detail_fetch(batch: pa.Table, policy: HostPolicyClient | None) -> pa.Table:
     return fetch.paced_fetch(batch, policy, detail.fetch_detail_batch)
 
 
-def _side_write(records: pa.Table, docs_dir: str, links_dir: str) -> pa.Table:
+def _side_write(records: pa.Table, docs_dir: str, links_dir: str,
+                links: bool = True) -> pa.Table:
     """Single-pass tee: derive span docs + detail links from a parse
     output batch and write them as parquet parts RIGHT HERE, then pass
     the records through to the main write_parquet sink.  Page rows are
     contiguous in parse output, so doc assembly needs no shuffle at all.
     Part filenames derive from the batch's first doc_id → a retried
-    task overwrites its own file (idempotent), never duplicates."""
+    task overwrites its own file (idempotent), never duplicates.
+    ``links=False`` for API variants without a detail hop (v2)."""
     import pyarrow.parquet as pq
     if records.num_rows == 0:
         return records
     stem = records["doc_id"][0].as_py()
     docs = spans.records_to_docs(records)
     pq.write_table(docs, os.path.join(docs_dir, f"{stem}.parquet"))
-    links = detail.expand_detail_links(records)
-    pq.write_table(links, os.path.join(links_dir, f"{stem}.parquet"))
+    if links:
+        link_rows = detail.expand_detail_links(records)
+        pq.write_table(link_rows, os.path.join(links_dir, f"{stem}.parquet"))
     return records
 
 
@@ -187,6 +190,7 @@ def run_crawl(
     n_chunks: int = 1,
     robots_fetcher=None,
     verify_unique: bool = False,
+    api: str = "v1",
     _fail_after_chunk: int | None = None,
 ) -> dict:
     """Run the full crawl; returns the final metrics dict.
@@ -201,6 +205,13 @@ def run_crawl(
     ``_fail_after_chunk`` is a test hook simulating a crash right after
     that chunk's commit.  Resuming requires the same ``n_chunks`` as
     the interrupted run (the chunk hash-partitioning must line up)."""
+    # api="v2" crawls the listCards format end-to-end through the same
+    # state machinery (the reference's ctripSpider02 is a sibling spider
+    # over the same seeds); the v2 API has no detail hop, so the crawl
+    # is single-epoch.
+    assert api in ("v1", "v2")
+    if api == "v2":
+        max_depth = 0
     if not resume:
         shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
@@ -248,10 +259,26 @@ def run_crawl(
              % np.uint64(n_chunks)).astype(np.int64)
         return t.filter(pa.array(c == chunk))
 
+    from .. import synth
+    if api == "v2":
+        url_path = "listcards"
+        status_fn, body_fn = synth.page_status_v2, synth.page_body_v2
+
+        def parse_fn(t: pa.Table) -> pa.Table:
+            out = parse.parse_v2_batch(t)
+            # v2 cards carry no captcha artifacts — null media_ref so the
+            # span-doc assembler emits text-only docs
+            return out.append_column("media_ref",
+                                     pa.nulls(out.num_rows, pa.string()))
+    else:
+        url_path = "flightlist"
+        status_fn = body_fn = None
+        parse_fn = parse.parse_batch
+
     for epoch in range(start_epoch, max_depth + 1):
         if epoch == 0:
-            from .. import synth
-            frontier_full = expand.frontier_dataset(sf_dir, n_days or synth.N_DAYS)
+            frontier_full = expand.frontier_dataset(
+                sf_dir, n_days or synth.N_DAYS, path=url_path)
         else:
             fdir = os.path.join(out_dir, f"frontier/epoch={epoch}")
             if not os.path.exists(fdir):
@@ -325,10 +352,12 @@ def run_crawl(
                 # links → records sink.  No mid-pipeline materialize.
                 (
                     fresh.map_batches(
-                        lambda b: fetch.fetch_with_policy(b, policy),
+                        lambda b: fetch.fetch_with_policy(
+                            b, policy, status_fn=status_fn, body_fn=body_fn),
                         batch_format="pyarrow", batch_size=fetch_batch_size)
-                    .map_batches(parse.parse_batch, batch_format="pyarrow")
-                    .map_batches(lambda t: _side_write(t, docs_dir, links_dir),
+                    .map_batches(parse_fn, batch_format="pyarrow")
+                    .map_batches(lambda t: _side_write(t, docs_dir, links_dir,
+                                                       links=api == "v1"),
                                  batch_format="pyarrow")
                     .write_parquet(records_dir)
                 )

@@ -68,7 +68,8 @@ def fetch_batch(batch: pa.Table, status_fn=None, body_fn=None) -> pa.Table:
     return out
 
 
-def fetch_with_policy(batch: pa.Table, politeness=None) -> pa.Table:
+def fetch_with_policy(batch: pa.Table, politeness=None,
+                      status_fn=None, body_fn=None) -> pa.Table:
     """Task-flavor fetch: same semantics as FetchWorker but runs as
     stateless tasks (elastic, no pool startup cost) — the right shape
     when the only 'state' is the politeness client handle.
@@ -79,7 +80,9 @@ def fetch_with_policy(batch: pa.Table, politeness=None) -> pa.Table:
     (a batch spanning a slow host no longer delays the fast ones).
     Zero-wait batches (the unlimited-rate default) skip straight
     through with no reordering."""
-    return paced_fetch(batch, politeness, fetch_batch)
+    return paced_fetch(batch, politeness,
+                       lambda t: fetch_batch(t, status_fn=status_fn,
+                                             body_fn=body_fn))
 
 
 def paced_fetch(batch: pa.Table, politeness, fetch_fn) -> pa.Table:

@@ -229,3 +229,29 @@ def test_engine_respects_politeness_budget():
                     burst=2)
     elapsed = time.monotonic() - t0
     assert elapsed >= floor * 0.8, (elapsed, floor)
+
+
+def test_v2_crawl_through_engine():
+    """api='v2' runs the listCards crawl through the same seen/
+    politeness/checkpoint machinery: docs and records must match the
+    dataset-flavor v2 pipeline exactly (same URL-dedup semantics)."""
+    from __spider_ray.pipelines import crawl
+    out_c = "/tmp/spider_ray_test/v2_crawl"
+    shutil.rmtree(out_c, ignore_errors=True)
+    res = epoch.run_crawl(SF_SMALL, out_c, resume=False, n_seen_shards=2,
+                          fetch_concurrency=2, api="v2")
+    assert res["last_epoch"] == 0
+    recs = ray.data.read_parquet(os.path.join(out_c, "records/epoch=0")).to_pandas()
+    want = crawl.flight_records_v2(SF_SMALL).to_pandas()
+    assert len(recs) == len(want)
+    key = ["url", "flight_idx"]
+    got_k = set(map(tuple, recs[key].values))
+    want_k = set(map(tuple, want[key].values))
+    assert got_k == want_k
+    docs = ray.data.read_parquet(os.path.join(out_c, "docs/epoch=0")).to_pandas()
+    assert set(docs["doc_id"]) == set(want["doc_id"])
+    # v2 docs are text-only (no captcha artifacts in the listCards body)
+    for spans_ in docs["spans"].head(50):
+        assert all(s["kind"] == "text" for s in spans_)
+    # no dangling frontier for a depth-0 api
+    assert not os.path.exists(os.path.join(out_c, "fares"))
