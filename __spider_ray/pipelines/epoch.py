@@ -215,6 +215,20 @@ def run_crawl(
     if not resume:
         shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
+    # resume guard: an output dir is bound to one API variant — mixing
+    # v1/v2 partial outputs would silently interleave incompatible
+    # schemas in records/docs
+    import json as _json
+    api_marker = os.path.join(out_dir, "api.json")
+    if os.path.exists(api_marker):
+        prev = _json.load(open(api_marker)).get("api")
+        if prev != api:
+            raise ValueError(
+                f"output dir {out_dir} was crawled with api={prev!r}; "
+                f"resume with the same api or pass resume=False")
+    else:
+        with open(api_marker, "w") as f:
+            _json.dump({"api": api}, f)
 
     # size the actor pools to the cluster: the chained pools (seen →
     # fetch) plus state actors must leave CPUs free for the read/sort/

@@ -255,3 +255,14 @@ def test_v2_crawl_through_engine():
         assert all(s["kind"] == "text" for s in spans_)
     # no dangling frontier for a depth-0 api
     assert not os.path.exists(os.path.join(out_c, "fares"))
+
+
+def test_api_mismatch_on_resume_rejected():
+    import pytest
+    out_c = "/tmp/spider_ray_test/api_guard"
+    shutil.rmtree(out_c, ignore_errors=True)
+    epoch.run_crawl(SF_SMALL, out_c, resume=False, n_seen_shards=2,
+                    fetch_concurrency=2, max_depth=0, n_days=1)
+    with pytest.raises(ValueError, match="api"):
+        epoch.run_crawl(SF_SMALL, out_c, resume=True, n_seen_shards=2,
+                        fetch_concurrency=2, api="v2")
