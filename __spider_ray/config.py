@@ -56,8 +56,7 @@ class EngineConfig:
         if "n_chunks" in crawl:
             cfg.n_chunks = int(crawl["n_chunks"])
         if "salt_hot" in crawl:
-            cfg.salt_hot = crawl.getboolean("salt_hot") \
-                if hasattr(crawl, "getboolean") else crawl["salt_hot"] == "true"
+            cfg.salt_hot = crawl.getboolean("salt_hot")
         if "verify_unique" in crawl:
             cfg.verify_unique = crawl.getboolean("verify_unique")
         if "n_seen_shards" in state:

@@ -305,7 +305,10 @@ def run_crawl(
             frontier_full = frontier_full.map_batches(
                 lambda t: t.drop_columns(["chunk"]) if "chunk" in t.column_names else t,
                 batch_format="pyarrow")
-        if salt_hot:
+        if salt_hot and epoch == 0:
+            # sort_key is only consumed by the depth-0 sort; salting the
+            # link frontier would be a wasted driver-side aggregate +
+            # rekey pass (the depth-1 sort is skipped below)
             frontier_full = salt_hot_hosts(frontier_full)
 
         done = set(ckpt.complete_chunks(out_dir, epoch)) if resume else set()
@@ -340,13 +343,23 @@ def run_crawl(
             # has no ordering semantics, so re-sorting would be a pure
             # all-to-all tax (NOTES_r1 #3, the top scaling cost).
             ordered = frontier.sort("sort_key") if epoch == 0 else frontier
+            # NO task-level retries on the fused pass: the seen filter's
+            # test-and-set is not idempotent (a retried task would see
+            # its own first attempt's hashes as "seen" and emit nothing,
+            # silently losing the batch).  A task failure must fail the
+            # PASS; recovery is the chunk commit/resume path, which
+            # restores the seen snapshot of the last committed chunk and
+            # re-runs the in-flight chunk exactly.
+            _no_retry = {"max_retries": 0, "retry_exceptions": False}
             fresh = (
                 ordered
                 .map_batches(lambda b: seen_filter_batch(b, seen),
                              batch_format="pyarrow",
-                             batch_size=fetch_batch_size)
+                             batch_size=fetch_batch_size,
+                             **_no_retry)
                 .map_batches(lambda b: _robots_filter(b, policy),
-                             batch_format="pyarrow")
+                             batch_format="pyarrow",
+                             **_no_retry)
             )
 
             t0 = _time.perf_counter()
@@ -368,11 +381,14 @@ def run_crawl(
                     fresh.map_batches(
                         lambda b: fetch.fetch_with_policy(
                             b, policy, status_fn=status_fn, body_fn=body_fn),
-                        batch_format="pyarrow", batch_size=fetch_batch_size)
-                    .map_batches(parse_fn, batch_format="pyarrow")
+                        batch_format="pyarrow", batch_size=fetch_batch_size,
+                        **_no_retry)
+                    .map_batches(parse_fn, batch_format="pyarrow",
+                                 **_no_retry)
                     .map_batches(lambda t: _side_write(t, docs_dir, links_dir,
                                                        links=api == "v1"),
-                                 batch_format="pyarrow")
+                                 batch_format="pyarrow",
+                                 **_no_retry)
                     .write_parquet(records_dir)
                 )
                 t0 = _t(f"e0.c{chunk} pass", t0)
@@ -397,9 +413,14 @@ def run_crawl(
                 (
                     fresh.map_batches(
                         lambda b: _detail_fetch(b, policy),
-                        batch_format="pyarrow", batch_size=fetch_batch_size)
-                    .map_batches(detail.parse_cabins_batch, batch_format="pyarrow")
-                    .map_batches(detail.lowest_fare_batch, batch_format="pyarrow")
+                        batch_format="pyarrow", batch_size=fetch_batch_size,
+                        **_no_retry)
+                    .map_batches(detail.parse_cabins_batch,
+                                 batch_format="pyarrow",
+                                 **_no_retry)
+                    .map_batches(detail.lowest_fare_batch,
+                                 batch_format="pyarrow",
+                                 **_no_retry)
                     .write_parquet(fares_dir)
                 )
                 t0 = _t(f"e{epoch}.c{chunk} pass", t0)

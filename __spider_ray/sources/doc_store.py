@@ -76,8 +76,11 @@ def commit_staged_documents(path: str, expected_rows: int | None = None,
     """
     staged = ray.data.read_parquet(path, file_extensions=["parquet"])
     if HAVE_LANCE:
-        staged.write_lance(path + ".lance", mode="append")   # pragma: no cover
-        n = ray.data.read_lance(path + ".lance").count()     # pragma: no cover
+        # overwrite, not append: a chunk commits exactly once, and a
+        # crash-resume re-stages the SAME chunk — append would stack the
+        # failed attempt's rows under the re-run's (duplicate docs)
+        staged.write_lance(path + ".lance", mode="overwrite")  # pragma: no cover
+        n = ray.data.read_lance(path + ".lance").count()       # pragma: no cover
     else:
         n = staged.count()                       # parquet-metadata count
     if expected_rows is not None and n < expected_rows:

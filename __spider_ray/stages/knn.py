@@ -251,6 +251,9 @@ def ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
     ids_s, m_s = _embs(sample_t)
     if len(ids_s) > 100_000:
         ids_s, m_s = ids_s[:100_000], m_s[:100_000]
+    # tiny corpora: never ask kmeans for more cells than vectors
+    n_cells = max(1, min(n_cells, len(m_s)))
+    nprobe = max(1, min(nprobe, n_cells))
     cent = train_ivf_centroids(m_s, n_cells)
 
     q_ids, Q = load_queries(sf_dir, n_queries) if path.endswith("embeddings.parquet") \

@@ -264,3 +264,23 @@ def test_connected_components_vs_union_find():
         members[c].append(n)
     for c, ms in members.items():
         assert c == min(ms + [c])
+
+
+def test_ivf_tiny_corpus_degrades_gracefully(tmp_path):
+    """Fewer vectors than the default cell floor must not crash —
+    n_cells clamps to the corpus size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spider_ray.stages import knn as knn_mod
+    rng = np.random.RandomState(2)
+    m = rng.normal(size=(7, 64))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    path = str(tmp_path / "tiny.parquet")
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(m.astype(np.float32).reshape(-1)), 64)
+    pq.write_table(pa.table({"vec_id": pa.array(np.arange(7, dtype=np.int64)),
+                             "embedding": emb}), path)
+    out = knn_mod.ivf_topk(SF_SMALL, n_queries=2, k=3, path=path).to_pandas()
+    assert set(out["query_id"]) == {0, 1}
+    assert (out.groupby("query_id").size() <= 3).all()
