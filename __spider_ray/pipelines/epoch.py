@@ -3,22 +3,29 @@
 Per epoch (north_rule's "priority frontier as repeated groupby(host)/
 aggregate/sort shuffles"):
 
-1. frontier Dataset → ``sort(host, priority)`` — one all-to-all shuffle
-   that (a) co-locates each host's URLs (politeness locality: all URLs
-   of a host meet one token bucket in few tasks) and (b) orders by
-   priority = reference crawl order (§2.6 O4);
-2. URL-seen semi-join: ``map_batches(SeenFilterWorker)`` — batched
-   ``check_and_add`` against the sharded cuckoo actors behind an exact
-   worker-local recent-set; duplicates drop here, exactly once per URL;
+1. depth-0 frontier → ``sort(sort_key)`` — ONE all-to-all shuffle that
+   (a) co-locates each host's URLs (politeness locality: all URLs of a
+   host meet one token bucket in few tasks) and (b) orders by priority
+   = reference crawl order (§2.6 O4); depth ≥1 skips the sort (links
+   inherit host locality from the sorted depth-0 pass and detail fetch
+   has no ordering semantics);
+2. URL-seen semi-join: ``seen_filter_batch`` stateless tasks — in-batch
+   ``np.unique`` first-occurrence + one batched ``check_and_add``
+   round-trip to the sharded cuckoo actors; FUSES with the downstream
+   fetch→parse chain (no per-pass actor-pool spinup).  The fused pass
+   runs with ``max_retries=0``: the test-and-set is not idempotent
+   under task retry, so failures fail the pass and recover through the
+   chunk commit/resume path;
 3. robots mask via the HostPolicyActor TTL cache (reference semantics:
-   allow-all, ``settings.py:21``);
-4. fetch: ``map_batches(FetchWorker, concurrency=N)`` actor pool with
-   batched token grants;
-5. parse: depth-0 pages → flight records (written as an epoch parquet
-   partition, then re-read for span docs + discovered detail links);
-   depth-1 pages → cabin rows → lowest fares;
+   allow-all, ``settings.py:21``; a ``robots_fetcher`` turns on deny);
+4. fetch: stateless tasks with per-host sub-batch politeness pacing
+   (``stages/fetch.paced_fetch``);
+5. parse: depth-0 pages → flight records (v1 ``fltitem`` or, with
+   ``api='v2'``, the double-encoded listCards format) + side-written
+   span docs and detail links; depth-1 pages → cabin rows → fares;
 6. commit: parquet partitions + next frontier + seen-shard snapshots +
-   metrics marker (checkpoint.py).  Resume skips complete epochs.
+   store-committed docs (count-verified manifest) + metrics marker
+   (checkpoint.py).  Resume skips complete epochs and chunks.
 
 Every intermediate an epoch needs twice is written once and re-read
 (records), never ``materialize()``d in the object store — at 100 TB
