@@ -110,6 +110,34 @@ def uniform01(values: pa.Array | Sequence[str], salt: str = "") -> np.ndarray:
     return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
+KMV_K = 256
+
+
+def kmv_sketch(h: np.ndarray, k: int = KMV_K) -> np.ndarray:
+    """K-minimum-values distinct-count sketch of a uint64 hash array:
+    the k smallest DISTINCT hash values (fewer if the input has fewer).
+    Mergeable by union+re-min; O(n) per batch, k·8 bytes of state."""
+    u = np.unique(h)                    # sorted distinct
+    return u[:k]
+
+
+def kmv_merge(sketches: "Iterable[np.ndarray]", k: int = KMV_K) -> np.ndarray:
+    parts = [np.asarray(s, dtype=np.uint64) for s in sketches if len(s)]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))[:k]
+
+
+def kmv_estimate(sketch: np.ndarray, k: int = KMV_K) -> float:
+    """Distinct-count estimate: with fewer than k values the sketch IS
+    the exact distinct set; else (k-1) · 2^64 / kth_min (standard KMV,
+    relative std ≈ 1/√(k-2))."""
+    if len(sketch) < k:
+        return float(len(sketch))
+    kth = float(sketch[k - 1])
+    return (k - 1) * (2.0 ** 64) / max(kth, 1.0)
+
+
 def md5_hex(values: Iterable[str]) -> list[str]:
     """Per-row MD5 hex digests, bit-identical to DuckDB ``md5(col)``.
 

@@ -173,6 +173,14 @@ def _side_write(records: pa.Table, docs_dir: str, links_dir: str,
         return records
     stem = records["doc_id"][0].as_py()
     docs = spans.records_to_docs(records)
+    # embed a KMV distinct-doc_id sketch in the part's footer metadata:
+    # the commit merges footers only (no data re-read) to screen for
+    # duplicate/split docs at near-zero cost; the exact groupby audit
+    # runs only when the sketch flags (or verify_unique=True forces it)
+    from ..functions.hashing import hash64, kmv_sketch
+    sk = kmv_sketch(hash64(docs["doc_id"].combine_chunks()))
+    docs = docs.replace_schema_metadata(
+        {b"kmv_doc_id": sk.tobytes(), b"n_docs": str(docs.num_rows).encode()})
     pq.write_table(docs, os.path.join(docs_dir, f"{stem}.parquet"))
     if links:
         link_rows = detail.expand_detail_links(records)

@@ -87,20 +87,50 @@ def commit_staged_documents(path: str, expected_rows: int | None = None,
         raise RuntimeError(
             f"document store commit verification failed: wrote {n} rows, "
             f"expected >= {expected_rows}")
+    # always-on cheap screening: merge the per-part KMV sketches from the
+    # parquet FOOTERS (no data read) and compare the distinct estimate
+    # to the row count; escalate to the exact audit when the estimate
+    # undershoots beyond sketch error (KMV k=256 → rel. std ~6%, flag at
+    # 4σ) — a duplicated/split-doc bug shows up as distinct ≪ rows
+    kmv_est = _kmv_screen(path)
+    suspicious = (kmv_est is not None and n > 0
+                  and kmv_est < n * 0.75)
     n_unique = None
-    if unique_key is not None and n:
-        n_unique = (ray.data.read_parquet(path, columns=[unique_key],
+    if (unique_key is not None or suspicious) and n:
+        key = unique_key or "doc_id"
+        n_unique = (ray.data.read_parquet(path, columns=[key],
                                           file_extensions=["parquet"])
-                    .groupby(unique_key).count().count())
+                    .groupby(key).count().count())
         if n_unique != n:
             raise RuntimeError(
                 f"document store commit verification failed: {n} rows but "
-                f"{n_unique} distinct {unique_key} — duplicate or split docs")
+                f"{n_unique} distinct {key} — duplicate or split docs")
     commit = {"rows": n, "unique": n_unique,
+              "kmv_distinct_est": round(kmv_est, 1) if kmv_est is not None else None,
               "format": "lance" if HAVE_LANCE else "parquet"}
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(commit, f)
     return commit
+
+
+def _kmv_screen(path: str) -> float | None:
+    """Merge per-part KMV doc_id sketches from parquet footer metadata
+    (written by the epoch tee) → distinct-count estimate.  Returns None
+    when parts carry no sketch (non-epoch writers)."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import kmv_estimate, kmv_merge
+    sketches = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        meta = pq.read_schema(f).metadata or {}
+        if b"kmv_doc_id" in meta:
+            sketches.append(np.frombuffer(meta[b"kmv_doc_id"], dtype=np.uint64))
+    if not sketches:
+        return None
+    return kmv_estimate(kmv_merge(sketches))
 
 
 def read_documents(path: str) -> ray.data.Dataset:

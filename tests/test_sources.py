@@ -91,3 +91,48 @@ deny_hosts = bad.test, worse.test
     import pytest
     with pytest.raises(FileNotFoundError):
         EngineConfig.from_ini(str(tmp_path / "missing.ini"))
+
+
+def test_kmv_screen_catches_duplicate_parts(tmp_path):
+    """The footer-sketch screening must escalate to the exact audit and
+    fail the commit when parts carry heavily duplicated doc_ids, even
+    with unique_key unset (the always-on path)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from __spider_ray.functions.hashing import hash64, kmv_sketch
+    from __spider_ray.sources.doc_store import commit_staged_documents
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    ids = pa.array([f"doc-{i}" for i in range(2000)])
+    t = pa.table({"doc_id": ids, "payload": pa.array([1] * 2000)})
+    sk = kmv_sketch(hash64(ids))
+    t = t.replace_schema_metadata({b"kmv_doc_id": sk.tobytes()})
+    pq.write_table(t, str(d / "a.parquet"))
+    pq.write_table(t, str(d / "b.parquet"))      # exact duplicate part
+    with pytest.raises(RuntimeError, match="distinct"):
+        commit_staged_documents(str(d))
+
+
+def test_kmv_screen_passes_clean_parts(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spider_ray.functions.hashing import hash64, kmv_sketch
+    from __spider_ray.sources.doc_store import commit_staged_documents
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    for part in range(3):
+        ids = pa.array([f"doc-{part}-{i}" for i in range(1500)])
+        t = pa.table({"doc_id": ids})
+        t = t.replace_schema_metadata(
+            {b"kmv_doc_id": kmv_sketch(hash64(ids)).tobytes()})
+        pq.write_table(t, str(d / f"p{part}.parquet"))
+    commit = commit_staged_documents(str(d))
+    assert commit["rows"] == 4500
+    est = commit["kmv_distinct_est"]
+    assert est is not None and abs(est - 4500) / 4500 < 0.3
