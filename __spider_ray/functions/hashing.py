@@ -116,7 +116,9 @@ KMV_K = 256
 def kmv_sketch(h: np.ndarray, k: int = KMV_K) -> np.ndarray:
     """K-minimum-values distinct-count sketch of a uint64 hash array:
     the k smallest DISTINCT hash values (fewer if the input has fewer).
-    Mergeable by union+re-min; O(n) per batch, k·8 bytes of state."""
+    Mergeable by union+re-min; O(n) per batch, k·8 bytes of state.
+    (Bar-Yossef et al., "Counting distinct elements in a data stream",
+    RANDOM 2002 — public; implemented from scratch.)"""
     u = np.unique(h)                    # sorted distinct
     return u[:k]
 

@@ -75,26 +75,22 @@ def commit_staged_documents(path: str, expected_rows: int | None = None,
     - the manifest records the verified count.
     """
     staged = ray.data.read_parquet(path, file_extensions=["parquet"])
-    if HAVE_LANCE:
-        # overwrite, not append: a chunk commits exactly once, and a
-        # crash-resume re-stages the SAME chunk — append would stack the
-        # failed attempt's rows under the re-run's (duplicate docs)
-        staged.write_lance(path + ".lance", mode="overwrite")  # pragma: no cover
-        n = ray.data.read_lance(path + ".lance").count()       # pragma: no cover
-    else:
-        n = staged.count()                       # parquet-metadata count
-    if expected_rows is not None and n < expected_rows:
-        raise RuntimeError(
-            f"document store commit verification failed: wrote {n} rows, "
-            f"expected >= {expected_rows}")
-    # always-on cheap screening: merge the per-part KMV sketches from the
-    # parquet FOOTERS (no data read) and compare the distinct estimate
-    # to the row count; escalate to the exact audit when the estimate
-    # undershoots beyond sketch error (KMV k=256 → rel. std ~6%, flag at
-    # 4σ) — a duplicated/split-doc bug shows up as distinct ≪ rows
-    kmv_est = _kmv_screen(path)
-    suspicious = (kmv_est is not None and n > 0
-                  and kmv_est < n * 0.75)
+    n = staged.count()                           # parquet-metadata count
+    # ALL verification runs on the parquet staging BEFORE anything is
+    # published to the Lance table — a failed audit must not leave bad
+    # rows committed and readable.
+    # Always-on cheap screening: merge the per-part KMV sketches from
+    # the parquet FOOTERS (no data read) and compare the distinct
+    # estimate to the SKETCHED parts' row count (mixed-writer dirs may
+    # have unsketched parts — those are outside the screen's coverage).
+    # Below k=256 distinct values the merged sketch IS the exact
+    # distinct set, so any shortfall is proof of duplicates; above it
+    # the estimate carries ~6% rel. std, so flag at 4σ (25%).
+    kmv_est, covered_rows, kmv_exact = _kmv_screen(path)
+    suspicious = False
+    if kmv_est is not None and covered_rows > 0:
+        suspicious = (kmv_est < covered_rows) if kmv_exact \
+            else (kmv_est < covered_rows * 0.75)
     n_unique = None
     if (unique_key is not None or suspicious) and n:
         key = unique_key or "doc_id"
@@ -105,32 +101,56 @@ def commit_staged_documents(path: str, expected_rows: int | None = None,
             raise RuntimeError(
                 f"document store commit verification failed: {n} rows but "
                 f"{n_unique} distinct {key} — duplicate or split docs")
+    if expected_rows is not None and n < expected_rows:
+        raise RuntimeError(
+            f"document store commit verification failed: wrote {n} rows, "
+            f"expected >= {expected_rows}")
+    if HAVE_LANCE:
+        # publish only after verification; overwrite, not append: a
+        # chunk commits exactly once, and a crash-resume re-stages the
+        # SAME chunk — append would stack the failed attempt's rows
+        # under the re-run's (duplicate docs)
+        staged.write_lance(path + ".lance", mode="overwrite")  # pragma: no cover
+        n = ray.data.read_lance(path + ".lance").count()       # pragma: no cover
     commit = {"rows": n, "unique": n_unique,
               "kmv_distinct_est": round(kmv_est, 1) if kmv_est is not None else None,
+              "kmv_covered_rows": covered_rows or None,
               "format": "lance" if HAVE_LANCE else "parquet"}
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(commit, f)
     return commit
 
 
-def _kmv_screen(path: str) -> float | None:
+def _kmv_screen(path: str) -> tuple[float | None, int, bool]:
     """Merge per-part KMV doc_id sketches from parquet footer metadata
-    (written by the epoch tee) → distinct-count estimate.  Returns None
-    when parts carry no sketch (non-epoch writers)."""
+    (written by the epoch tee) → ``(distinct_estimate, covered_rows,
+    is_exact)``.
+
+    ``covered_rows`` sums only the SKETCHED parts' row counts (the
+    ``n_docs`` footer value, falling back to the parquet footer row
+    count) so mixed dirs with non-epoch writers compare like against
+    like.  ``is_exact`` is True when the merged sketch holds fewer than
+    k values — then it is the full distinct set, not an estimate.
+    Returns ``(None, 0, False)`` when no part carries a sketch."""
     import glob
 
     import numpy as np
     import pyarrow.parquet as pq
 
-    from ..functions.hashing import kmv_estimate, kmv_merge
-    sketches = []
+    from ..functions.hashing import KMV_K, kmv_estimate, kmv_merge
+    sketches, covered = [], 0
     for f in glob.glob(os.path.join(path, "*.parquet")):
         meta = pq.read_schema(f).metadata or {}
         if b"kmv_doc_id" in meta:
             sketches.append(np.frombuffer(meta[b"kmv_doc_id"], dtype=np.uint64))
+            if b"n_docs" in meta:
+                covered += int(meta[b"n_docs"])
+            else:
+                covered += pq.read_metadata(f).num_rows
     if not sketches:
-        return None
-    return kmv_estimate(kmv_merge(sketches))
+        return None, 0, False
+    merged = kmv_merge(sketches)
+    return kmv_estimate(merged), covered, len(merged) < KMV_K
 
 
 def read_documents(path: str) -> ray.data.Dataset:

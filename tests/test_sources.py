@@ -136,3 +136,51 @@ def test_kmv_screen_passes_clean_parts(tmp_path):
     assert commit["rows"] == 4500
     est = commit["kmv_distinct_est"]
     assert est is not None and abs(est - 4500) / 4500 < 0.3
+
+
+def test_kmv_exact_regime_catches_small_duplication(tmp_path):
+    """Below k=256 distinct values the merged sketch is the exact
+    distinct set — even a handful of duplicate rows must fail the
+    commit (no estimation slack in this regime)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from __spider_ray.functions.hashing import hash64, kmv_sketch
+    from __spider_ray.sources.doc_store import commit_staged_documents
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    ids = [f"doc-{i}" for i in range(200)] + ["doc-0"] * 10   # 5% dup
+    t = pa.table({"doc_id": pa.array(ids)})
+    t = t.replace_schema_metadata(
+        {b"kmv_doc_id": kmv_sketch(hash64(pa.array(ids))).tobytes(),
+         b"n_docs": str(len(ids)).encode()})
+    pq.write_table(t, str(d / "a.parquet"))
+    with pytest.raises(RuntimeError, match="distinct"):
+        commit_staged_documents(str(d))
+
+
+def test_kmv_mixed_writer_parts_not_falsely_flagged(tmp_path):
+    """Unsketched parts (non-epoch writers) are outside the screen's
+    coverage: their rows must not count against the sketched parts'
+    estimate (no false suspicion, no surprise full audit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spider_ray.functions.hashing import hash64, kmv_sketch
+    from __spider_ray.sources.doc_store import commit_staged_documents
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    ids = pa.array([f"doc-{i}" for i in range(300)])
+    t = pa.table({"doc_id": ids})
+    t = t.replace_schema_metadata(
+        {b"kmv_doc_id": kmv_sketch(hash64(ids)).tobytes(),
+         b"n_docs": b"300"})
+    pq.write_table(t, str(d / "sketched.parquet"))
+    other = pa.table({"doc_id": pa.array([f"x-{i}" for i in range(5000)])})
+    pq.write_table(other, str(d / "foreign.parquet"))   # no footer sketch
+    commit = commit_staged_documents(str(d))
+    assert commit["rows"] == 5300
+    assert commit["kmv_covered_rows"] == 300
