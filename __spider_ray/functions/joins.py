@@ -119,7 +119,10 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
         r_rows[has_match] = r_idx[r_order[r_pos[has_match]]]
 
         out: dict[str, pa.Array] = {}
-        lt = g.take(pa.array(l_rep))
+        # take only the columns the output reads — g also carries the
+        # key/bucket/side helpers and the other side's null-filled
+        # columns, which would double the copy for nothing
+        lt = g.select(on + lcols).take(pa.array(l_rep))
         for c in on + lcols:
             out[c] = lt[c]
         rt_idx = pa.array(np.where(r_rows >= 0, r_rows, 0), pa.int64(),

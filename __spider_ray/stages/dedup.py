@@ -41,6 +41,17 @@ _PERM_A = (_rng.randint(1, 1 << 62, size=N_PERM).astype(np.uint64) << np.uint64(
           | np.uint64(1)                    # odd multipliers (multiply-shift)
 
 
+def _shingles(text: str) -> list[str]:
+    """Word-SHINGLE_W-gram shingles of one doc — the ONE tokenizer both
+    the MinHash signatures and the exact-Jaccard verifier use (they must
+    measure the same sets or the estimate/verify contract breaks)."""
+    toks = text.split(" ")
+    if len(toks) < SHINGLE_W:
+        return [" ".join(toks)]
+    return [" ".join(toks[j:j + SHINGLE_W])
+            for j in range(len(toks) - SHINGLE_W + 1)]
+
+
 def _shingle_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """All word-SHINGLE_W-gram hashes, flattened, plus per-doc counts.
 
@@ -48,12 +59,7 @@ def _shingle_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     all_shingles: list[str] = []
     counts = np.zeros(len(texts), dtype=np.int64)
     for i, txt in enumerate(texts):
-        toks = txt.split(" ")
-        if len(toks) < SHINGLE_W:
-            sh = [" ".join(toks)]
-        else:
-            sh = [" ".join(toks[j:j + SHINGLE_W])
-                  for j in range(len(toks) - SHINGLE_W + 1)]
+        sh = _shingles(txt)
         all_shingles.extend(sh)
         counts[i] = len(sh)
     h = hash64(pa.array(all_shingles, type=pa.string()))
@@ -229,20 +235,15 @@ def verify_pairs_distributed(pairs: ray.data.Dataset,
 
 def exact_jaccard_pair(text_a: str, text_b: str) -> tuple[int, int]:
     """(intersection, union) of word-SHINGLE_W-gram sets — integers, so
-    thresholding is exact."""
-    def sh(t: str) -> set[str]:
-        toks = t.split(" ")
-        if len(toks) < SHINGLE_W:
-            return {" ".join(toks)}
-        return {" ".join(toks[j:j + SHINGLE_W])
-                for j in range(len(toks) - SHINGLE_W + 1)}
-    A, B = sh(text_a), sh(text_b)
+    thresholding is exact.  Uses the same tokenizer as the signatures
+    (``_shingles``)."""
+    A, B = set(_shingles(text_a)), set(_shingles(text_b))
     return len(A & B), len(A | B)
 
 
 # ------------------------------------------------- connected components
 def connected_components(pairs: ray.data.Dataset,
-                         max_rounds: int = 16) -> ray.data.Dataset:
+                         max_rounds: int = 64) -> ray.data.Dataset:
     """Cluster near-dup pairs into components: (node, component) rows,
     component = min doc_id reachable.
 
@@ -253,9 +254,11 @@ def connected_components(pairs: ray.data.Dataset,
          (vectorized searchsorted) → (dst, src_label) messages;
       2. bucket by node: min over (old label ∪ messages) → new labels.
     Converges in ≤ graph-diameter rounds; stops early when no label
-    changed (tracked via a per-round changed-count aggregate).
+    changed (labels only ever decrease, so equal label sums = fixed
+    point).  Hitting ``max_rounds`` WITHOUT convergence raises instead
+    of silently returning split components (a 64-hop near-dup chain is
+    pathological; raise the cap explicitly if one is real).
     """
-    import pyarrow.compute as pc
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy()
@@ -270,10 +273,14 @@ def connected_components(pairs: ray.data.Dataset,
         return pa.table({"node": pa.array(n), "label": pa.array(n)})
 
     def bucketize(col: str):
+        # shares the module bucketizer; rename its hbucket → bucket so
+        # drop_columns(["bucket"]) below stays uniform
+        inner = _bucketize_on(col)
+
         def f(t: pa.Table) -> pa.Table:
-            key = hash64_ints(t[col].to_numpy().astype(np.uint64))
-            return t.append_column(
-                "bucket", pa.array((key % np.uint64(64)).astype(np.int64)))
+            out = inner(t)
+            return out.rename_columns(
+                [c if c != "hbucket" else "bucket" for c in out.column_names])
         return f
 
     def dedup_nodes(g: pa.Table) -> pa.Table:
@@ -286,6 +293,13 @@ def connected_components(pairs: ray.data.Dataset,
                    .map_groups(lambda g: dedup_nodes(g.drop_columns(["bucket"])),
                                batch_format="pyarrow")).materialize()
 
+    def _label_sum(ds: ray.data.Dataset) -> int:
+        return ds.map_batches(
+            lambda t: pa.table({"s": pa.array([int(t["label"].to_numpy().sum())])}),
+            batch_format="pyarrow").sum("s")
+
+    prev_sum = _label_sum(labels)
+    converged = False
     for _round in range(max_rounds):
         lbl_tagged = labels.map_batches(
             lambda t: pa.table({"src": t["node"], "dst": t["label"],
@@ -335,16 +349,19 @@ def connected_components(pairs: ray.data.Dataset,
                         batch_format="pyarrow")
         ).materialize()
 
-        # converged? compare label multisets (cheap aggregates)
-        old_sum = labels.map_batches(
-            lambda t: pa.table({"s": pa.array([int(t["label"].to_numpy().sum())])}),
-            batch_format="pyarrow").sum("s")
-        new_sum = new_labels.map_batches(
-            lambda t: pa.table({"s": pa.array([int(t["label"].to_numpy().sum())])}),
-            batch_format="pyarrow").sum("s")
+        # converged? labels only ever decrease, so an unchanged sum is a
+        # fixed point — reuse last round's sum instead of re-aggregating
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if old_sum == new_sum:       # labels only ever decrease → fixed point
+        if new_sum == prev_sum:
+            converged = True
             break
+        prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            f"rounds — the candidate graph has a chain longer than the "
+            f"cap; raise max_rounds")
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "component": t["label"]}),
         batch_format="pyarrow")

@@ -25,13 +25,17 @@ class CredentialActor:
     def __init__(self, ttl_s: float = 3600.0):
         self.ttl_s = ttl_s
         self.tokens: dict[str, tuple[str, float]] = {}   # platform → (token, born)
-        self.refreshes = 0
+        self.refreshes: dict[str, int] = {}              # platform → ordinal
 
     def _mint(self, platform: str) -> str:
-        # deterministic "harvest": f(platform, refresh ordinal) — the
-        # stand-in for the mitmproxy capture (get_ctrip_cookie.py:40-67)
-        self.refreshes += 1
-        return f"{platform}-token-{md5_u64(f'{platform}:{self.refreshes}', 0, 1 << 30):08x}"
+        # deterministic "harvest": f(platform, PER-PLATFORM refresh
+        # ordinal) — the stand-in for the mitmproxy capture
+        # (get_ctrip_cookie.py:40-67).  A shared counter would make the
+        # token depend on cross-platform call interleaving, breaking
+        # replay determinism.
+        n = self.refreshes.get(platform, 0) + 1
+        self.refreshes[platform] = n
+        return f"{platform}-token-{md5_u64(f'{platform}:{n}', 0, 1 << 30):08x}"
 
     def get_token(self, platform: str) -> str:
         now = time.monotonic()
@@ -47,15 +51,15 @@ class CredentialActor:
         self.tokens.pop(platform, None)
 
     def stats(self) -> dict:
-        return {"platforms": len(self.tokens), "refreshes": self.refreshes}
+        return {"platforms": len(self.tokens),
+                "refreshes": sum(self.refreshes.values())}
 
 
 class CredentialClient:
     """Serializable handle; one call per (platform, batch)."""
 
-    def __init__(self, ttl_s: float = 3600.0, handle=None):
-        self.actor = handle if handle is not None \
-            else CredentialActor.remote(ttl_s)
+    def __init__(self, ttl_s: float = 3600.0):
+        self.actor = CredentialActor.remote(ttl_s)
 
     def token(self, platform: str) -> str:
         return ray.get(self.actor.get_token.remote(platform))

@@ -179,7 +179,8 @@ class CuckooFilter:
                     self.count -= 1
                     ok[j] = True
                     break
-        self._compact = False     # holes may not be a suffix anymore
+        if ok.any():
+            self._compact = False     # holes may not be a suffix anymore
         return ok
 
     @property

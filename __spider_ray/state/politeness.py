@@ -108,17 +108,15 @@ class HostPolicyClient:
     small HostPolicyActor pool; one actor call per (shard, batch)."""
 
     def __init__(self, n_actors: int = 2, delay_s: float = 0.0, burst: int = 6,
-                 robots_fetcher: Callable[[str], bool] | None = None,
-                 handles: list | None = None):
+                 robots_fetcher: Callable[[str], bool] | None = None):
         self.n_actors = n_actors
-        if handles is not None:
-            self.actors = handles
-        else:
-            # unnamed: one pool per crawl run, dies with its handles —
-            # config (delay/burst) can never go stale across runs
-            self.actors = [HostPolicyActor.remote(delay_s, burst, 3600.0,
-                                                  robots_fetcher)
-                           for _ in range(n_actors)]
+        # unnamed: one pool per crawl run, dies with its handles —
+        # config (delay/burst) can never go stale across runs; the
+        # client object itself (with its handle list) serializes into
+        # task closures, so no injection path is needed
+        self.actors = [HostPolicyActor.remote(delay_s, burst, 3600.0,
+                                              robots_fetcher)
+                       for _ in range(n_actors)]
 
     def _shard_of(self, host: str) -> int:
         # Deterministic across processes: builtin hash() is per-process
@@ -142,11 +140,14 @@ class HostPolicyClient:
         """Per-host grant waits for a batch — ONE actor call per shard,
         returning host → seconds-to-wait so the caller can issue each
         host's sub-batch after its own wait instead of the batch max."""
-        vals, counts = np.unique(np.asarray(hosts.to_pylist(), dtype=object),
-                                 return_counts=True)
+        from collections import Counter
+        # Counter is O(n) hashing — np.unique would sort an object array
+        # per batch (and raise on a null host)
+        counts = Counter(hosts.to_pylist())
+        counts.pop(None, None)                 # null hosts get no grant
         per_shard: dict[int, dict[str, int]] = {}
-        for h, c in zip(vals, counts):
-            per_shard.setdefault(self._shard_of(str(h)), {})[str(h)] = int(c)
+        for h, c in counts.items():
+            per_shard.setdefault(self._shard_of(h), {})[h] = int(c)
         results = ray.get([self.actors[s].acquire_per_host.remote(hc)
                            for s, hc in per_shard.items()])
         waits: dict[str, float] = {}
@@ -156,17 +157,18 @@ class HostPolicyClient:
 
     def robots_mask(self, hosts: pa.Array | pa.ChunkedArray) -> np.ndarray:
         """Per-row allow mask, resolved via the TTL cache actors."""
-        arr = np.asarray(hosts.to_pylist(), dtype=object)
-        uniq = np.unique(arr)
+        rows = hosts.to_pylist()
+        uniq = set(rows)
+        uniq.discard(None)
         per_shard: dict[int, list[str]] = {}
         for h in uniq:
-            per_shard.setdefault(self._shard_of(str(h)), []).append(str(h))
-        allow: dict[str, bool] = {}
+            per_shard.setdefault(self._shard_of(h), []).append(h)
+        allow: dict[str | None, bool] = {None: False}   # null host → deny
         results = ray.get([self.actors[s].robots_allowed.remote(hs)
                            for s, hs in per_shard.items()])
         for hs, res in zip(per_shard.values(), results):
             allow.update(zip(hs, res))
-        return np.array([allow[str(h)] for h in arr], dtype=bool)
+        return np.array([allow[h] for h in rows], dtype=bool)
 
     def stats(self) -> list[dict]:
         return ray.get([a.stats.remote() for a in self.actors])

@@ -36,9 +36,9 @@ from .cuckoo import CuckooFilter
 
 @ray.remote(num_cpus=0.1)
 class UrlSeenShard:
-    """One cuckoo shard.  num_cpus=0.25: lookups are sub-millisecond
-    vectorized gathers; four shards share a core without starving the
-    fetch pool."""
+    """One cuckoo shard.  num_cpus=0.1: lookups are sub-millisecond
+    vectorized gathers; up to ten shards share a core without starving
+    the fetch tasks."""
 
     def __init__(self, shard_id: int, n_buckets: int = 1 << 20, bucket_size: int = 4):
         self.shard_id = shard_id
@@ -70,17 +70,14 @@ class UrlSeenSet:
     map_batches workers (holds only actor handles)."""
 
     def __init__(self, n_shards: int = 8, n_buckets: int = 1 << 20,
-                 bucket_size: int = 4, handles: list | None = None):
+                 bucket_size: int = 4):
         assert n_shards & (n_shards - 1) == 0
         self.n_shards = n_shards
-        if handles is not None:
-            self.shards = handles
-        else:
-            # unnamed actors: owned by the driver that created the set,
-            # die with it — no stale cross-run state; persistence across
-            # runs goes through snapshot/restore (checkpoint.py)
-            self.shards = [UrlSeenShard.remote(i, n_buckets, bucket_size)
-                           for i in range(n_shards)]
+        # unnamed actors: owned by the driver that created the set,
+        # die with it — no stale cross-run state; persistence across
+        # runs goes through snapshot/restore (checkpoint.py)
+        self.shards = [UrlSeenShard.remote(i, n_buckets, bucket_size)
+                       for i in range(n_shards)]
 
     def _route(self, urls: pa.Array | list[str]) -> tuple[np.ndarray, np.ndarray]:
         h = hash64(urls if isinstance(urls, (pa.Array, pa.ChunkedArray))

@@ -284,3 +284,20 @@ def test_ivf_tiny_corpus_degrades_gracefully(tmp_path):
     out = knn_mod.ivf_topk(SF_SMALL, n_queries=2, k=3, path=path).to_pandas()
     assert set(out["query_id"]) == {0, 1}
     assert (out.groupby("query_id").size() <= 3).all()
+
+
+def test_connected_components_long_chain_converges():
+    """A 30-node chain needs ~29 propagation rounds — the component
+    labels must still fully converge to min(doc_id) (the old cap of 16
+    silently split such chains)."""
+    import pyarrow as pa
+    import ray.data
+
+    from __spider_ray.stages.dedup import connected_components
+    a = list(range(29))
+    b = list(range(1, 30))
+    pairs = ray.data.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
+                                          "b": pa.array(b, pa.int64())}))
+    comp = connected_components(pairs).to_pandas()
+    assert len(comp) == 30
+    assert (comp["component"] == 0).all()
