@@ -159,6 +159,18 @@ def _detail_fetch(batch: pa.Table, policy: HostPolicyClient | None) -> pa.Table:
     return fetch.paced_fetch(batch, policy, detail.fetch_detail_batch)
 
 
+def _count_parquet(d: str) -> int:
+    """Row count of a parquet dir, 0 for empty/missing dirs (a
+    zero-row ``write_parquet`` creates no files, and Ray's read raises
+    on an empty directory)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    return sum(pq.read_metadata(f).num_rows
+               for f in glob.glob(os.path.join(d, "**/*.parquet"),
+                                  recursive=True))
+
+
 def _side_write(records: pa.Table, docs_dir: str, links_dir: str,
                 links: bool = True) -> pa.Table:
     """Single-pass tee: derive span docs + detail links from a parse
@@ -227,23 +239,34 @@ def run_crawl(
     assert api in ("v1", "v2")
     if api == "v2":
         max_depth = 0
+    if max_depth > 1:
+        raise ValueError(
+            "the crawl model is two-hop (list pages + detail API); "
+            "max_depth > 1 has no depth-2 frontier to crawl")
     if not resume:
         shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    # resume guard: an output dir is bound to one API variant — mixing
-    # v1/v2 partial outputs would silently interleave incompatible
-    # schemas in records/docs
+    # resume guard: an output dir is bound to one API variant AND one
+    # seen-shard layout — mixing APIs would interleave incompatible
+    # record schemas, and resuming with a different n_seen_shards would
+    # mis-route the restored snapshots (h>>32 % n changes), silently
+    # re-fetching URLs the old shards already claimed
     import json as _json
-    api_marker = os.path.join(out_dir, "api.json")
-    if os.path.exists(api_marker):
-        prev = _json.load(open(api_marker)).get("api")
-        if prev != api:
+    run_marker = os.path.join(out_dir, "api.json")
+    if os.path.exists(run_marker):
+        prev = _json.load(open(run_marker))
+        if prev.get("api") != api:
             raise ValueError(
-                f"output dir {out_dir} was crawled with api={prev!r}; "
+                f"output dir {out_dir} was crawled with api={prev.get('api')!r}; "
                 f"resume with the same api or pass resume=False")
+        if prev.get("n_seen_shards") not in (None, n_seen_shards):
+            raise ValueError(
+                f"output dir {out_dir} was crawled with n_seen_shards="
+                f"{prev.get('n_seen_shards')}; resume with the same value "
+                f"or pass resume=False")
     else:
-        with open(api_marker, "w") as f:
-            _json.dump({"api": api}, f)
+        with open(run_marker, "w") as f:
+            _json.dump({"api": api, "n_seen_shards": n_seen_shards}, f)
 
     # size the actor pools to the cluster: the chained pools (seen →
     # fetch) plus state actors must leave CPUs free for the read/sort/
@@ -325,6 +348,13 @@ def run_crawl(
             # link frontier would be a wasted driver-side aggregate +
             # rekey pass (the depth-1 sort is skipped below)
             frontier_full = salt_hot_hosts(frontier_full)
+        if n_chunks > 1:
+            # pin the expanded frontier in the object store once: the
+            # per-chunk filters otherwise re-run the whole seed read +
+            # expansion lazily for EVERY chunk (n_chunks× the compute);
+            # blocks spill to disk under pressure, so this stays safe
+            # at scale
+            frontier_full = frontier_full.materialize()
 
         done = set(ckpt.complete_chunks(out_dir, epoch)) if resume else set()
         if done:
@@ -407,7 +437,7 @@ def run_crawl(
                     .write_parquet(records_dir)
                 )
                 t0 = _t(f"e0.c{chunk} pass", t0)
-                n_rec = ray.data.read_parquet(records_dir).count()  # metadata
+                n_rec = _count_parquet(records_dir)      # footer metadata only
                 # store-commit the staged doc parts: Lance when present,
                 # count-verify (A3) + distinct-doc_id idempotence check,
                 # manifest written (sources/doc_store.py)
@@ -425,6 +455,7 @@ def run_crawl(
                 fares_dir = os.path.join(
                     out_dir, f"fares/epoch={epoch}/chunk={chunk}")
                 shutil.rmtree(fares_dir, ignore_errors=True)
+                os.makedirs(fares_dir, exist_ok=True)   # zero-fare chunks commit empty
                 (
                     fresh.map_batches(
                         lambda b: _detail_fetch(b, policy),
@@ -439,7 +470,7 @@ def run_crawl(
                     .write_parquet(fares_dir)
                 )
                 t0 = _t(f"e{epoch}.c{chunk} pass", t0)
-                n_fares = ray.data.read_parquet(fares_dir).count()
+                n_fares = _count_parquet(fares_dir)
                 totals["fares"] += n_fares
                 metrics = {"fares": n_fares, "totals": dict(totals)}
 

@@ -74,6 +74,17 @@ def commit_staged_documents(path: str, expected_rows: int | None = None,
       it, the throughput path keeps the commit metadata-only;
     - the manifest records the verified count.
     """
+    import glob as _glob
+    parts = _glob.glob(os.path.join(path, "*.parquet"))
+    if not parts:
+        # empty chunk (all pages errored / filtered): commit zero rows —
+        # Ray's read_parquet raises on an empty directory
+        commit = {"rows": 0, "unique": None, "kmv_distinct_est": None,
+                  "kmv_covered_rows": None,
+                  "format": "lance" if HAVE_LANCE else "parquet"}
+        with open(os.path.join(path, MANIFEST), "w") as f:
+            json.dump(commit, f)
+        return commit
     staged = ray.data.read_parquet(path, file_extensions=["parquet"])
     n = staged.count()                           # parquet-metadata count
     # ALL verification runs on the parquet staging BEFORE anything is

@@ -38,9 +38,11 @@ def expand_detail_links(batch: pa.Table) -> pa.Table:
     priority = (batch["seed_index"].to_numpy().astype(np.float64) * synth.N_DAYS
                 + batch["day_offset"].to_numpy())
     url_arr = pa.array(urls, type=pa.string())
-    host_hash = hash64(batch["host"].combine_chunks())
-    sort_key = ((host_hash >> np.uint64(33)) << np.uint64(31)).astype(np.int64) \
-        + priority.astype(np.int64)
+    # same packer as the depth-0 frontier; the default 31-bit budget is
+    # fine here — the depth-1 pass never sorts on this key (epoch.py
+    # skips the sort; links inherit host locality from the depth-0 pass)
+    from .expand import pack_sort_key
+    sort_key = pack_sort_key(hash64(batch["host"].combine_chunks()), priority)
     t = pa.table(
         {
             "url": url_arr,

@@ -79,6 +79,38 @@ def make_seeds_batch(batch: pa.Table, nation_map: dict[int, str]) -> pa.Table:
     return canonicalize_seed_batch(raw)
 
 
+def pack_sort_key(host_hash: np.ndarray, priority: np.ndarray,
+                  prio_bits: int = 31) -> np.ndarray:
+    """The ONE frontier sort-key packer: top (62−prio_bits) bits of the
+    host hash above ``prio_bits`` bits of priority (positive int64, no
+    sign-bit wrap).  ``prio_bits`` must bound the priority range —
+    ``frontier_dataset`` measures it from the customer table's parquet
+    statistics so large scale factors can't carry priority bits into
+    the host field (the silent-ordering-corruption hazard
+    ``epoch.salt_hot_hosts`` documents)."""
+    host_bits = 62 - prio_bits
+    return ((host_hash >> np.uint64(64 - host_bits)).astype(np.int64)
+            << np.int64(prio_bits)) + priority.astype(np.int64)
+
+
+def prio_bits_for(sf_dir: str, n_days: int) -> int:
+    """Bits needed for priority = custkey·n_days + day, from the
+    customer parquet FOOTER statistics (no data read); falls back to 31
+    (the ≤2^31 budget) when stats are absent."""
+    import math
+
+    import pyarrow.parquet as pq
+    try:
+        md = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata
+        col = md.schema.to_arrow_schema().get_field_index("c_custkey")
+        mx = max(md.row_group(rg).column(col).statistics.max
+                 for rg in range(md.num_row_groups))
+        bound = (int(mx) + 1) * n_days
+        return min(47, max(20, math.ceil(math.log2(bound + 1))))
+    except Exception:
+        return 31
+
+
 def _default_blocks() -> int:
     """Blocks ≈ 2× cluster CPUs: the seed file is ONE parquet file (one
     read block by default), which would serialize the whole expand →
@@ -109,7 +141,7 @@ def seeds_dataset(sf_dir: str, n_blocks: int | None = None) -> ray.data.Dataset:
 
 
 def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS,
-                 path: str = "flightlist") -> pa.Table:
+                 path: str = "flightlist", prio_bits: int = 31) -> pa.Table:
     """seeds batch → frontier batch: N_DAYS rows per seed (M1).
 
     Vectorized: np.repeat over the seed columns × np.tile over the day
@@ -149,9 +181,7 @@ def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS,
     priority = seed_index.to_numpy().astype(np.float64) * n_days + days
     # numeric shuffle key: high bits = host hash (locality), low bits =
     # priority (order) — one int64 sort instead of a (string, float) sort
-    host_hash = hash64(hosts)
-    sort_key = ((host_hash >> np.uint64(33)) << np.uint64(31)).astype(np.int64) \
-        + priority.astype(np.int64)
+    sort_key = pack_sort_key(hash64(hosts), priority, prio_bits)
     return pa.table(
         {
             "url": urls,
@@ -168,6 +198,9 @@ def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS,
 
 def frontier_dataset(sf_dir: str, n_days: int = synth.N_DAYS,
                      path: str = "flightlist") -> ray.data.Dataset:
-    """seeds → expanded frontier (lazy, streaming)."""
+    """seeds → expanded frontier (lazy, streaming).  The sort-key's
+    priority width is measured from the customer table once (footer
+    stats) so the packing never overflows at large scale factors."""
+    pb = prio_bits_for(sf_dir, n_days)
     return seeds_dataset(sf_dir).map_batches(
-        lambda b: expand_batch(b, n_days, path), batch_format="pyarrow")
+        lambda b: expand_batch(b, n_days, path, pb), batch_format="pyarrow")

@@ -193,8 +193,48 @@ class FetchWorker:
         self._proxy_i += 1
         return p
 
+    def _fetch_live(self, batch: pa.Table) -> pa.Table:
+        """Live-HTTP flavor (transport='real'): per-URL POST through the
+        cipher-shuffled httpx session with rotating proxy headers and
+        bounded retries — the path a real deployment runs; unreachable
+        in this sandbox (no httpx/network), but it IS the code the
+        synthetic fetch stands in for."""
+        urls = batch["url"].to_pylist()
+        statuses = np.empty(len(urls), dtype=np.int32)
+        errors: list[str | None] = [None] * len(urls)
+        bodies: list[bytes] = [b""] * len(urls)
+        token = self.credentials.token("ctrip") if self.credentials else None
+        for i, u in enumerate(urls):
+            last_err = None
+            for _attempt in range(self.max_retries + 1):   # bounded (vs the
+                try:                                       # reference's unbounded
+                    headers = {"X-Proxy": self.next_proxy()}   # recursion, T4)
+                    if token:
+                        headers["Cookie"] = token
+                    st, body = self.transport.fetch(u, headers=headers)
+                    statuses[i], bodies[i] = st, body
+                    last_err = None
+                    break
+                except Exception as e:                     # noqa: BLE001
+                    last_err = str(e)
+            if last_err is not None:
+                statuses[i], errors[i] = 0, last_err       # dead-letter row
+        out = batch
+        fetch_ts = pa.array(np.full(
+            len(urls), np.datetime64(synth.CREATE_TIME_STR.replace(" ", "T"), "us")))
+        elapsed = (uniform01(batch["url"].combine_chunks(), salt="elapsed")
+                   * 2000 + 50).astype(np.int32)
+        for name, col in (("status", pa.array(statuses)),
+                          ("error", pa.array(errors, type=pa.string())),
+                          ("fetch_ts", fetch_ts),
+                          ("elapsed_ms", pa.array(elapsed)),
+                          ("body", pa.array(bodies, type=pa.binary()))):
+            out = out.append_column(name, col)
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return paced_fetch(batch, self.politeness, fetch_batch)
+        fetch_fn = self._fetch_live if self.transport is not None else fetch_batch
+        return paced_fetch(batch, self.politeness, fetch_fn)
 
 
 class DetailFetchWorker:

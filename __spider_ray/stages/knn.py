@@ -24,7 +24,6 @@ import ray
 import ray.data
 
 R_BITS = 6        # 64 LSH buckets
-_rng = np.random.RandomState(7)
 
 
 def _embs(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -106,7 +105,10 @@ def brute_force_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
 
 # ------------------------------------------------------------------ LSH ANN
 def _planes(dim: int) -> np.ndarray:
-    return _rng.normal(size=(R_BITS, dim))
+    # fresh seeded state per call: a module-level RandomState would
+    # advance across calls, making repeated identical queries return
+    # different neighbor sets (replay determinism contract)
+    return np.random.RandomState(7).normal(size=(R_BITS, dim))
 
 
 def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:

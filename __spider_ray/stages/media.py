@@ -290,6 +290,13 @@ class MediaFeatureWorker:
             for i, p in enumerate(batch["payload"].to_pylist()):
                 gray = decode_bmp(p).astype(np.float64).mean(axis=2)
                 h, w = gray.shape
+                if h < 4 or w < 4:
+                    # images smaller than the grid: sample pixels
+                    # (empty pooling cells would yield NaN features)
+                    ys = (np.arange(4) * h) // 4
+                    xs = (np.arange(4) * w) // 4
+                    feats[i] = gray[ys][:, xs].reshape(-1)
+                    continue
                 ys = (np.arange(5) * h) // 4
                 xs = (np.arange(5) * w) // 4
                 for by in range(4):

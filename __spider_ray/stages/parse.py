@@ -29,6 +29,18 @@ from ..schemas import FLIGHT_RECORDS
 # reference string, payload never inlined into the record)
 PROVENANCE = ("url", "host", "doc_id", "seed_index", "day_offset", "flight_idx", "media_ref")
 
+# every flight-dict key the v1 extraction reads (validated per page so a
+# malformed page dead-letters instead of crashing the fused pass)
+_V1_FIELDS = ("company", "company_no", "plane_no", "start_time", "end_time",
+              "price", "discount", "flight_type", "plane_type",
+              "flight_transfer")
+# every card key the v2 extraction reads
+_V2_FIELDS = ("departureAirportCode", "departureAirportName",
+              "arrivalAirportCode", "arrivalAirportName", "departDateTime",
+              "arriveDateTime", "crossDays", "airlines", "prices",
+              "discounts", "totalDuration", "ticketCounts", "stops",
+              "stopTimes")
+
 
 def parse_batch(batch: pa.Table) -> pa.Table:
     """fetch-result batch → flight-record rows (one row per flight).
@@ -57,13 +69,20 @@ def parse_batch(batch: pa.Table) -> pa.Table:
             continue
         try:
             fl_all = json.loads(bodies[i])["fltitem"]
+            # shared-flight filter: the reference only emits rows for
+            # flights with falsy ``icsf`` (ylSpider06.py:331-334);
+            # flight_idx stays the position in the RESPONSE
+            # (provenance), the per-page flight count reflects KEPT
+            # flights only.  Probe every field the extraction below
+            # reads so a malformed-but-200 page skips HERE (per page)
+            # instead of raising mid-column-build and killing the task
+            # (the epoch pass runs with max_retries=0).
+            fl = [(j, f) for j, f in enumerate(fl_all) if not f.get("icsf")]
+            for _, f in fl:
+                for k in _V1_FIELDS:
+                    f[k]
         except Exception:
             continue
-        # shared-flight filter: the reference only emits rows for flights
-        # with falsy ``icsf`` (``if not icsf``, ylSpider06.py:331-334);
-        # flight_idx stays the position in the RESPONSE (provenance), the
-        # per-page flight count reflects the KEPT flights only.
-        fl = [(j, f) for j, f in enumerate(fl_all) if not f.get("icsf")]
         if not fl:
             continue
         page_idx.extend([i] * len(fl))
@@ -160,11 +179,22 @@ def parse_v2_batch(batch: pa.Table) -> pa.Table:
         try:
             inner = json.loads(json.loads(bodies[i])["data"])   # double decode
             cds = inner["listCards"]
+            if not cds:
+                continue
+            msg = str(inner["cityMessage"]).split("|")
+            if len(msg) < 2:
+                continue
+            # probe every card field the extraction reads (see _V1_FIELDS
+            # note): a malformed page skips, never kills the fused pass
+            for c in cds:
+                for k in _V2_FIELDS:
+                    c[k]
+                c["airlines"][0]["displayName"]
+                c["prices"]["ECONOMY"]
+                c["discounts"]["ECONOMY"]
+                c["ticketCounts"]["ECONOMY"]
         except Exception:
             continue
-        if not cds:
-            continue
-        msg = str(inner["cityMessage"]).split("|")
         page_idx.extend([i] * len(cds))
         cards.extend(cds)
         cities.extend([(msg[0], msg[1])] * len(cds))

@@ -230,3 +230,44 @@ def test_empty_parse_batch():
     assert recs.num_rows == 0
     docs = records_to_docs(recs)
     assert docs.num_rows == 0
+
+
+def test_fetch_worker_live_path_with_fake_transport():
+    """The transport!=None branch: proxy rotation, credential header,
+    bounded retries, and error rows — driven by a stub transport (httpx
+    absent in the sandbox, so the live path is tested via injection)."""
+    from __spider_ray.stages.fetch import FetchWorker
+
+    class FakeTransport:
+        def __init__(self):
+            self.calls = []
+
+        def fetch(self, url, headers=None):
+            self.calls.append((url, dict(headers or {})))
+            if "fail" in url:
+                raise ConnectionError("boom")
+            return 200, b'{"fltitem": []}'
+
+    class FakeCreds:
+        def token(self, platform):
+            return f"tok-{platform}"
+
+    w = FetchWorker(max_retries=1)
+    w.transport = FakeTransport()          # inject (ctor needs httpx)
+    w.credentials = FakeCreds()
+    batch = pa.table({
+        "url": pa.array(["https://h.test/ok1", "https://h.test/fail",
+                         "https://h.test/ok2"]),
+        "host": pa.array(["h.test"] * 3),
+    })
+    out = w(batch)
+    assert out["status"].to_pylist() == [200, 0, 200]
+    assert out["error"].to_pylist()[1] is not None
+    assert out["error"].to_pylist()[0] is None
+    # bounded retries: the failing URL was attempted max_retries+1 times
+    fails = [c for c in w.transport.calls if "fail" in c[0]]
+    assert len(fails) == 2
+    # proxy rotation + credential header on every attempt
+    proxies = [h["X-Proxy"] for _u, h in w.transport.calls]
+    assert len(set(proxies)) > 1
+    assert all(h["Cookie"] == "tok-ctrip" for _u, h in w.transport.calls)
