@@ -184,3 +184,16 @@ def test_kmv_mixed_writer_parts_not_falsely_flagged(tmp_path):
     commit = commit_staged_documents(str(d))
     assert commit["rows"] == 5300
     assert commit["kmv_covered_rows"] == 300
+
+
+def test_commit_empty_staging_dir(tmp_path):
+    """A chunk whose pass emitted nothing must commit a zero-row
+    manifest instead of crashing on the empty-directory read."""
+    from __spider_ray.sources.doc_store import (commit_staged_documents,
+                                                manifest)
+    d = tmp_path / "docs"
+    d.mkdir()
+    commit = commit_staged_documents(str(d))
+    assert commit["rows"] == 0
+    m = manifest(str(d))
+    assert m is not None and m["rows"] == 0
