@@ -256,8 +256,12 @@ def _crawl_rendered_spans(sf_dir: str):
     from ..stages import html_extract, render
     from ..stages import spans as sp
     ds = crawl.frontier(sf_dir)
+    # batch size: tiny when a REAL browser is attached (seconds per
+    # page; a 1024-page actor call would serialize the pool and lose
+    # 1024 pages on one failure), large for the synthetic renderer
+    bs = render.RENDER_BATCH_SIZE if render._HAVE_SELENIUM else 1024
     rendered = ds.map_batches(render.RenderWorker, batch_format="pyarrow",
-                              batch_size=1024, concurrency=4, num_cpus=0.5)
+                              batch_size=bs, concurrency=4, num_cpus=0.5)
     docs = rendered.map_batches(html_extract.html_to_docs_batch,
                                 batch_format="pyarrow")
     return _cast_int64(docs.map_batches(sp.explode_spans,

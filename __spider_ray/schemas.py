@@ -46,6 +46,9 @@ FRONTIER = pa.schema(
         ("host", pa.string()),
         ("depth", pa.int32()),
         ("priority", pa.float64()),
+        # packed shuffle key: top bits host-hash, low bits priority
+        # (stages/expand.pack_sort_key) — THE epoch sort key
+        ("sort_key", pa.int64()),
         ("seed_index", pa.int64()),
         ("day_offset", pa.int32()),
         ("meta", FRONTIER_META),

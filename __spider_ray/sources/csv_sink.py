@@ -31,6 +31,9 @@ CSV_COLUMNS = [
 
 def _write_group_csvs(g: pa.Table, out_dir: str) -> pa.Table:
     """One hash bucket → one CSV per (OD, date) key inside it."""
+    if g.num_rows == 0:
+        return pa.table({"csv_key": pa.array([], pa.string()),
+                         "rows": pa.array([], pa.int64())})
     keys = [f"{f}-{t}-{d}" for f, t, d in zip(
         g["from_city_code"].to_pylist(), g["to_city_code"].to_pylist(),
         g["off_date"].to_pylist())]

@@ -29,26 +29,44 @@ except ImportError:
 MANIFEST = "_manifest.json"
 
 
+def _lance_path(path: str) -> str:
+    """ONE layout rule for the whole store: the Lance table of a doc
+    directory lives at ``<path>.lance`` (parquet staging/fallback lives
+    in ``path`` itself); writers and readers both resolve through
+    here."""
+    return path + ".lance"
+
+
 def write_documents(ds: ray.data.Dataset, path: str,
                     expected_rows: int | None = None) -> dict:
     """Write a documents Dataset; returns the commit record.
 
     Enforces the reference's written-rows-vs-expected check when
     ``expected_rows`` is given (YlTwistPipeline.py:166-169): a short
-    write raises instead of silently committing.
+    write raises instead of silently committing.  On the Lance path the
+    check applies to the rows THIS call appended (total minus
+    pre-append count) — verifying the whole table would let a short
+    append pass on any already-populated table.
     """
     os.makedirs(path, exist_ok=True)
     if HAVE_LANCE:
-        ds.write_lance(path, mode="append")          # pragma: no cover
-        n = ray.data.read_lance(path).count()        # pragma: no cover
+        lp = _lance_path(path)                            # pragma: no cover
+        try:                                              # pragma: no cover
+            pre = ray.data.read_lance(lp).count()         # pragma: no cover
+        except Exception:                                 # pragma: no cover
+            pre = 0                                       # pragma: no cover
+        ds.write_lance(lp, mode="append")                 # pragma: no cover
+        total = ray.data.read_lance(lp).count()           # pragma: no cover
+        n = total - pre                                   # pragma: no cover
     else:
         ds.write_parquet(path)
-        n = ray.data.read_parquet(path).count()      # parquet-metadata count
+        total = n = ray.data.read_parquet(path).count()  # parquet-metadata count
     if expected_rows is not None and n < expected_rows:
         raise RuntimeError(
             f"document store commit verification failed: wrote {n} rows, "
             f"expected >= {expected_rows}")
-    commit = {"rows": n, "format": "lance" if HAVE_LANCE else "parquet"}
+    commit = {"rows": n, "total_rows": total,
+              "format": "lance" if HAVE_LANCE else "parquet"}
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(commit, f)
     return commit
@@ -78,7 +96,14 @@ def commit_staged_documents(path: str, expected_rows: int | None = None,
     parts = _glob.glob(os.path.join(path, "*.parquet"))
     if not parts:
         # empty chunk (all pages errored / filtered): commit zero rows —
-        # Ray's read_parquet raises on an empty directory
+        # Ray's read_parquet raises on an empty directory.  The
+        # count-verification invariant still applies: an EXPECTED
+        # non-empty commit with nothing staged is the severest short
+        # write of all.
+        if expected_rows:
+            raise RuntimeError(
+                f"document store commit verification failed: wrote 0 rows, "
+                f"expected >= {expected_rows}")
         commit = {"rows": 0, "unique": None, "kmv_distinct_est": None,
                   "kmv_covered_rows": None,
                   "format": "lance" if HAVE_LANCE else "parquet"}
@@ -121,8 +146,8 @@ def commit_staged_documents(path: str, expected_rows: int | None = None,
         # chunk commits exactly once, and a crash-resume re-stages the
         # SAME chunk — append would stack the failed attempt's rows
         # under the re-run's (duplicate docs)
-        staged.write_lance(path + ".lance", mode="overwrite")  # pragma: no cover
-        n = ray.data.read_lance(path + ".lance").count()       # pragma: no cover
+        staged.write_lance(_lance_path(path), mode="overwrite")  # pragma: no cover
+        n = ray.data.read_lance(_lance_path(path)).count()       # pragma: no cover
     commit = {"rows": n, "unique": n_unique,
               "kmv_distinct_est": round(kmv_est, 1) if kmv_est is not None else None,
               "kmv_covered_rows": covered_rows or None,
@@ -165,8 +190,11 @@ def _kmv_screen(path: str) -> tuple[float | None, int, bool]:
 
 
 def read_documents(path: str) -> ray.data.Dataset:
-    if HAVE_LANCE:
-        return ray.data.read_lance(path)             # pragma: no cover
+    """Read back a committed doc directory: the Lance table at
+    ``<path>.lance`` when present (the published, verified copy), else
+    the parquet parts in ``path`` itself."""
+    if HAVE_LANCE and os.path.exists(_lance_path(path)):
+        return ray.data.read_lance(_lance_path(path))  # pragma: no cover
     return ray.data.read_parquet(
         path, file_extensions=["parquet"])           # skip the manifest
 

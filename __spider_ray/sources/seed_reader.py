@@ -45,6 +45,17 @@ def shard_lines(tbl: pa.Table, from_line: int = -1, to_line: int = -1) -> pa.Tab
 
 def read_seed_file(path: str, from_line: int = -1,
                    to_line: int = -1) -> ray.data.Dataset:
+    """Seed file → canonicalized seeds Dataset.
+
+    Canonicalization (city renames + the one-city-two-airports alias
+    map, stages/canonicalize.py) runs HERE, before any hashing: alias
+    codes for the same destination (PKX/PEK, SHA/PVG…) must collapse
+    BEFORE the host becomes a politeness bucket and a URL-seen key, or
+    one logical destination splits across two rate budgets and
+    duplicate logical URLs pass the seen filter."""
+    from ..stages.canonicalize import canonicalize_seed_batch
     with open(path, encoding="utf-8") as f:
         tbl = parse_seed_lines(f.readlines())
-    return ray.data.from_arrow(shard_lines(tbl, from_line, to_line))
+    return ray.data.from_arrow(
+        canonicalize_seed_batch(shard_lines(tbl, from_line, to_line),
+                                airport_aliases=True))

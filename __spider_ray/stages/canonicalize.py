@@ -51,10 +51,22 @@ def canonical_airport(codes: pa.Array) -> pa.Array:
     return pc.coalesce(mapped, codes)
 
 
-def canonicalize_seed_batch(batch: pa.Table) -> pa.Table:
-    """Apply all seed-level canonicalization to a seeds-schema batch."""
+def canonicalize_seed_batch(batch: pa.Table,
+                            airport_aliases: bool = False) -> pa.Table:
+    """Apply all seed-level canonicalization to a seeds-schema batch.
+
+    ``airport_aliases=True`` additionally collapses one-city-two-airport
+    codes through ``AIRPORT_MAP`` (PKX→PEK, SHA→PVG, …) — the generic
+    seed-file path (sources/seed_reader) uses it so alias destinations
+    share one politeness bucket and one URL-seen identity.  The
+    synthetic customer-derived seeds keep it OFF: their 北京-name
+    override already canonicalizes, and the SQL oracle mirrors exactly
+    that derivation."""
     fc = override_beijing_code(batch["from_city_name"], batch["from_city_code"])
     tc = override_beijing_code(batch["to_city_name"], batch["to_city_code"])
+    if airport_aliases:
+        fc = canonical_airport(fc)
+        tc = canonical_airport(tc)
     fn = rename_wulong(batch["from_city_name"])
     tn = rename_wulong(batch["to_city_name"])
     return pa.table(

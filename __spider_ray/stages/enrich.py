@@ -12,28 +12,30 @@ becomes ``ray.put`` once + lookup in every task.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
-from .expand import load_nation_map, make_seeds_batch
+from .expand import load_nation_map
 
 AIRPORT_SUFFIX = "国际机场"
 
 
 def airports_dim(sf_dir: str) -> dict[str, str]:
-    """ap_code → airport-name dict (distinct codes over both seed
-    sides; name = city + 国际机场).  Mirrors the xlsx dim shape
-    (FIXTURES.md §6) as a pure derivation of the driver tables."""
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
-    seeds = make_seeds_batch(cust, load_nation_map(sf_dir))
-    dim: dict[str, str] = {}
-    for code_col, name_col in (("from_city_code", "from_city_name"),
-                               ("to_city_code", "to_city_name")):
-        for code, name in zip(seeds[code_col].to_pylist(),
-                              seeds[name_col].to_pylist()):
-            dim[code] = name + AIRPORT_SUFFIX
+    """ap_code → airport-name dict; name = city + 国际机场.  Mirrors the
+    xlsx dim shape (FIXTURES.md §6).
+
+    Derived from the 25-row nation table plus the fixed canonical
+    special codes — NOT from a customer scan: the dim can only ever
+    contain ~27 codes (nation codes + BJS/CQW after canonicalization),
+    so materializing 10⁸ customer rows driver-side to discover them was
+    the small-side-join anti-pattern this module exists to fix.  The
+    dict is a superset of the codes any seed can produce, which is
+    exactly what a broadcast lookup wants."""
+    nmap = load_nation_map(sf_dir)
+    dim = {f"{name[:3].upper()}{key}": name + AIRPORT_SUFFIX
+           for key, name in nmap.items()}
+    # canonicalized specials (stages/canonicalize.py): 北京→BJS, 武隆→重庆/CQW
+    dim["BJS"] = "北京" + AIRPORT_SUFFIX
+    dim["CQW"] = "重庆" + AIRPORT_SUFFIX
     return dim
 
 

@@ -159,8 +159,8 @@ def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS,
                                    day_str,
                                    synth.url_variant(seed_index.to_numpy()),
                                    path=path)
-    ua_idx = (hash64(urls, seed=7) % np.uint64(len(synth.USER_AGENTS))).astype(np.int64)
-    ua = pc.take(pa.array(synth.USER_AGENTS, type=pa.string()), pa.array(ua_idx))
+    from .request_build import pick_user_agents
+    ua = pick_user_agents(urls)          # the ONE UA derivation (M3)
     meta = pa.StructArray.from_arrays(
         [
             rep["from_city_name"].combine_chunks(),

@@ -44,11 +44,18 @@ def extract_cookie_params(cookies: pa.Array) -> pa.Table:
     """
     pairs = pc.split_pattern(cookies.cast(pa.string()), pattern=";")
     flat = pairs.flatten()
-    kv = pc.split_pattern(pc.utf8_trim_whitespace(flat), pattern="=", max_splits=1)
-    keys = pc.list_element(kv, 0)
-    vals = pc.list_element(kv, 1)
     counts = np.asarray(pairs.value_lengths())
     row_of = np.repeat(np.arange(len(counts)), counts)
+    kv = pc.split_pattern(pc.utf8_trim_whitespace(flat), pattern="=", max_splits=1)
+    # pairs without '=' (trailing ';', flag attributes like 'Secure')
+    # split into ONE element — pc.list_element(kv, 1) would raise on
+    # them; skip them like the reference's split-and-scan does
+    has_val = np.asarray(pc.greater_equal(pc.list_value_length(kv), 2)
+                         .to_numpy(zero_copy_only=False), dtype=bool)
+    kv = kv.filter(pa.array(has_val))
+    row_of = row_of[has_val]
+    keys = pc.list_element(kv, 0)
+    vals = pc.list_element(kv, 1)
 
     def pick(mask: pa.Array) -> pa.Array:
         m = np.asarray(mask.to_numpy(zero_copy_only=False), dtype=bool)

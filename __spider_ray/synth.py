@@ -30,14 +30,13 @@ from __future__ import annotations
 import hashlib
 import json
 from datetime import date, timedelta
-from datetime import date as _date_cls
-
-
-def date_fromisoformat(s: str) -> date:
-    return _date_cls.fromisoformat(s)
 
 import numpy as np
 import pyarrow as pa
+
+
+def date_fromisoformat(s: str) -> date:
+    return date.fromisoformat(s)
 
 # ---------------------------------------------------------------- constants
 BASE_DATE = date(2026, 1, 1)              # crawl day (fixed ⇒ deterministic)
@@ -73,19 +72,10 @@ def md5(s: str) -> str:
 
 
 # ---------------------------------------------------------------- seeds
-def seed_special(custkey: int, which: str) -> tuple[str, str] | None:
-    """北京/武隆 injection rule shared with the SQL oracle.
-
-    from-side: custkey % 50 == 0 → ('北京','PKX'); == 1 → ('武隆','CQW')
-    to-side:   custkey % 41 == 0 → ('北京','PEK'); == 1 → ('武隆','CQW')
-    """
-    m = custkey % (50 if which == "from" else 41)
-    if m == 0:
-        return ("北京", "PKX" if which == "from" else "PEK")
-    if m == 1:
-        return ("武隆", "CQW")
-    return None
-
+# The 北京/武隆 seed-injection rule (from-side: custkey%50∈{0,1} →
+# 北京/PKX, 武隆/CQW; to-side: custkey%41 with PEK) lives in ONE place —
+# stages/expand._seed_side (vectorized) — mirrored by the SQL oracle
+# (oracle_sqlgen.SEEDS_CTE) and the conformance simulator.
 
 def nation_code(n_name: str, n_nationkey: int) -> str:
     """City code for a nation row: upper 3-prefix + nationkey."""
@@ -294,11 +284,6 @@ def detail_body(durl: str) -> bytes:
         {"economyList": [cabin_fields(durl, j) for j in range(detail_n_cabins(durl))]},
         ensure_ascii=False,
     ).encode()
-
-
-def pick_ua(url: str) -> str:
-    """Deterministic UA pick (replaces random.choice, ctripSpider.py:157)."""
-    return USER_AGENTS[_hx(md5(url), 2, 3) % len(USER_AGENTS)]
 
 
 def day_str(day_offset: int) -> str:

@@ -33,8 +33,10 @@ def test_read_seed_file_both_syntaxes(seed_file):
     ds = read_seed_file(seed_file)
     rows = ds.to_pandas()
     assert list(rows["seed_id"]) == [0, 1, 2]
-    assert list(rows["from_city_code"]) == ["CAN", "SHA", "CTU"]
-    assert rows["to_city_name"][1] == "武隆"
+    # the reader canonicalizes: SHA collapses to PVG via AIRPORT_MAP so
+    # alias destinations share one host bucket / seen identity
+    assert list(rows["from_city_code"]) == ["CAN", "PVG", "CTU"]
+    assert rows["to_city_name"][1] == "重庆"       # 武隆 renamed (ctripSpider.py:144)
 
 
 def test_seed_shard_window(seed_file):
