@@ -122,11 +122,19 @@ def commit_staged_documents(path: str, expected_rows: int | None = None,
     # Below k=256 distinct values the merged sketch IS the exact
     # distinct set, so any shortfall is proof of duplicates; above it
     # the estimate carries ~6% rel. std, so flag at 4σ (25%).
-    kmv_est, covered_rows, kmv_exact = _kmv_screen(path)
-    suspicious = False
+    kmv_est, covered_rows, kmv_exact, part_dup = _kmv_screen(path)
+    suspicious = part_dup           # per-part exact shortfall is proof
     if kmv_est is not None and covered_rows > 0:
-        suspicious = (kmv_est < covered_rows) if kmv_exact \
-            else (kmv_est < covered_rows * 0.75)
+        # merged-sketch regimes: below k the merged sketch IS the
+        # distinct set (any shortfall is proof); above k the estimate
+        # carries ~6.3% rel std (1/√(k−2), k=256) — flag at 3σ (19%).
+        # Residual escape: a cross-part duplicate rate under ~19% with
+        # every part individually duplicate-free AND the merged sketch
+        # saturated can pass the screen; verify_unique=True remains the
+        # exact gate for that regime (recorded in the manifest).
+        suspicious = suspicious or (
+            (kmv_est < covered_rows) if kmv_exact
+            else (kmv_est < covered_rows * 0.81))
     n_unique = None
     if (unique_key is not None or suspicious) and n:
         key = unique_key or "doc_id"
@@ -157,36 +165,43 @@ def commit_staged_documents(path: str, expected_rows: int | None = None,
     return commit
 
 
-def _kmv_screen(path: str) -> tuple[float | None, int, bool]:
+def _kmv_screen(path: str) -> tuple[float | None, int, bool, bool]:
     """Merge per-part KMV doc_id sketches from parquet footer metadata
     (written by the epoch tee) → ``(distinct_estimate, covered_rows,
-    is_exact)``.
+    is_exact, part_dup)``.
 
     ``covered_rows`` sums only the SKETCHED parts' row counts (the
     ``n_docs`` footer value, falling back to the parquet footer row
     count) so mixed dirs with non-epoch writers compare like against
     like.  ``is_exact`` is True when the merged sketch holds fewer than
     k values — then it is the full distinct set, not an estimate.
-    Returns ``(None, 0, False)`` when no part carries a sketch."""
+    ``part_dup`` is True when any single part's sketch is exact (below
+    k values) yet smaller than that part's row count — low-rate
+    within-part duplicate/split docs (the batch-boundary failure the
+    NOTES_r2 contiguity assumption describes) are PROVEN this way even
+    when the merged sketch has saturated into estimate territory.
+    Returns ``(None, 0, False, False)`` when no part carries a sketch."""
     import glob
 
     import numpy as np
     import pyarrow.parquet as pq
 
     from ..functions.hashing import KMV_K, kmv_estimate, kmv_merge
-    sketches, covered = [], 0
+    sketches, covered, part_dup = [], 0, False
     for f in glob.glob(os.path.join(path, "*.parquet")):
         meta = pq.read_schema(f).metadata or {}
         if b"kmv_doc_id" in meta:
-            sketches.append(np.frombuffer(meta[b"kmv_doc_id"], dtype=np.uint64))
-            if b"n_docs" in meta:
-                covered += int(meta[b"n_docs"])
-            else:
-                covered += pq.read_metadata(f).num_rows
+            sk = np.frombuffer(meta[b"kmv_doc_id"], dtype=np.uint64)
+            sketches.append(sk)
+            part_rows = int(meta[b"n_docs"]) if b"n_docs" in meta \
+                else pq.read_metadata(f).num_rows
+            covered += part_rows
+            if len(sk) < KMV_K and len(np.unique(sk)) < part_rows:
+                part_dup = True
     if not sketches:
-        return None, 0, False
+        return None, 0, False, False
     merged = kmv_merge(sketches)
-    return kmv_estimate(merged), covered, len(merged) < KMV_K
+    return kmv_estimate(merged), covered, len(merged) < KMV_K, part_dup
 
 
 def read_documents(path: str) -> ray.data.Dataset:

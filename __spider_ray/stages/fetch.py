@@ -95,7 +95,12 @@ def paced_fetch(batch: pa.Table, politeness, fetch_fn) -> pa.Table:
         return fetch_fn(batch)
     import time as _time
     hosts = np.asarray(batch["host"].to_pylist(), dtype=object)
-    row_wait = np.array([waits[str(h)] for h in hosts])
+    # null hosts get zero wait: acquire_waits drops None keys from the
+    # grant dict, and under the epoch pass's max_retries=0 a KeyError
+    # here would fail the whole chunk — fetch_with_policy/FetchWorker
+    # are public entry points without the robots-mask null guarantee
+    row_wait = np.array([waits.get(str(h), 0.0) if h is not None else 0.0
+                         for h in hosts])
     order = np.argsort(row_wait, kind="stable")
     sorted_batch = batch.take(pa.array(order))
     sw = row_wait[order]

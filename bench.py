@@ -195,10 +195,23 @@ def run_scaling() -> dict:
         if hi.get("ray_probe_sec") else None
     ray_eff = (rate_hi / rate_lo) / ray_ratio if ray_ratio else None
     return {
-        "metric": "scaling efficiency (urls/sec, 8 vs 32 cpus, vs the measured Ray-framework ceiling)",
-        "value": round(ray_eff, 3) if ray_eff else round(norm_eff, 3),
+        # 'value' is the RAW unnormalized N→4N efficiency (speedup/4) —
+        # the criterion's literal number.  The probe-normalized ratio is
+        # auxiliary context for this oversubscribed shared box (it can
+        # exceed 1.0 when the probe itself scaled poorly in the window —
+        # a probe-noise artifact, flagged below, never the headline).
+        "metric": "scaling efficiency (urls/sec, 8 vs 32 cpus, raw speedup / 4)",
+        "value": round(raw_eff, 3),
         "unit": "efficiency",
         "raw_efficiency_vs_4x": round(raw_eff, 3),
+        "ray_normalized_efficiency": round(ray_eff, 3) if ray_eff else None,
+        "ray_normalized_note": (
+            "engine speedup / in-window Ray-probe speedup; >1.0 means the "
+            "probe under-scaled in that window (noise artifact)"
+            if ray_eff is not None and ray_eff > 1.0 else
+            "engine speedup / in-window Ray-probe speedup"
+            if ray_eff is not None else
+            "unavailable: child run lacked ray_probe_sec"),
         "engine_speedup_8_to_32": round(rate_hi / rate_lo, 2),
         "ray_ceiling_speedup_8_to_32": round(ray_ratio, 2) if ray_ratio else None,
         "ray_probe_sec_8": lo.get("ray_probe_sec"),

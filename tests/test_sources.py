@@ -163,6 +163,36 @@ def test_kmv_exact_regime_catches_small_duplication(tmp_path):
         commit_staged_documents(str(d))
 
 
+def test_kmv_part_exact_catches_dup_despite_saturated_merge(tmp_path):
+    """Per-part exactness screen (ADVICE r2): a small part with
+    within-part duplicates must escalate even when a big clean part has
+    pushed the MERGED sketch into estimate territory (where a <19%
+    shortfall would otherwise pass)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from __spider_ray.functions.hashing import hash64, kmv_sketch
+    from __spider_ray.sources.doc_store import commit_staged_documents
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    big_ids = pa.array([f"doc-big-{i}" for i in range(5000)])   # saturates k=256
+    big = pa.table({"doc_id": big_ids}).replace_schema_metadata(
+        {b"kmv_doc_id": kmv_sketch(hash64(big_ids)).tobytes(),
+         b"n_docs": b"5000"})
+    pq.write_table(big, str(d / "big.parquet"))
+    ids = [f"doc-s-{i}" for i in range(100)] + ["doc-s-0"] * 10  # 10 dups
+    small = pa.table({"doc_id": pa.array(ids)}).replace_schema_metadata(
+        {b"kmv_doc_id": kmv_sketch(hash64(pa.array(ids))).tobytes(),
+         b"n_docs": str(len(ids)).encode()})
+    pq.write_table(small, str(d / "small.parquet"))
+    # overall shortfall is 10/5110 ≈ 0.2% — far under the merged-sketch
+    # 3σ threshold; only the per-part exact check can prove it
+    with pytest.raises(RuntimeError, match="distinct"):
+        commit_staged_documents(str(d))
+
+
 def test_kmv_mixed_writer_parts_not_falsely_flagged(tmp_path):
     """Unsketched parts (non-epoch writers) are outside the screen's
     coverage: their rows must not count against the sketched parts'
