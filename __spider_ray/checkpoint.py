@@ -46,21 +46,37 @@ def complete_chunks(out_dir: str, epoch: int) -> list[int]:
     return sorted(out)
 
 
+def write_snapshot(path: str, snap: dict) -> None:
+    """One shard snapshot → one npz.  Uncompressed savez: gzip of the
+    (mostly-empty) cuckoo tables costs ~2 s of SERIAL driver time per
+    commit — pure scaling tax; raw writes are ~10× faster and the
+    checkpoint volume is cheap."""
+    arrays = {k: np.frombuffer(v, dtype=np.uint8) if isinstance(v, bytes)
+              else np.asarray(v) for k, v in snap.items()}
+    np.savez(path, **arrays)
+
+
+def chunk_state_dir(out_dir: str, epoch: int, chunk: int) -> str:
+    return os.path.join(out_dir, f"state/epoch={epoch}.chunk={chunk}")
+
+
 def commit_chunk(out_dir: str, epoch: int, chunk: int, metrics: dict,
-                 seen_snapshots: list[dict] | None) -> None:
+                 seen_snapshots: list[dict] | None = None,
+                 state_dir: str | None = None) -> None:
     """Intra-epoch commit: chunk outputs + seen-filter snapshot — the
     unit of 'resume without re-fetching' (a killed job loses at most
-    one in-flight chunk)."""
+    one in-flight chunk).
+
+    Either pass ``seen_snapshots`` (driver-side serialize, the simple
+    path) or ``state_dir`` pointing at snapshots ALREADY written by the
+    shard actors themselves (``UrlSeenSet.snapshot_all_to`` — parallel,
+    off the driver's serial clock; the hot path)."""
     if seen_snapshots is not None:
-        state_dir = os.path.join(out_dir, f"state/epoch={epoch}.chunk={chunk}")
+        state_dir = chunk_state_dir(out_dir, epoch, chunk)
         os.makedirs(state_dir, exist_ok=True)
         for i, snap in enumerate(seen_snapshots):
-            arrays = {k: np.frombuffer(v, dtype=np.uint8) if isinstance(v, bytes)
-                      else np.asarray(v) for k, v in snap.items()}
-            # uncompressed savez: gzip of the (mostly-empty) cuckoo
-            # tables costs ~2 s of SERIAL driver time per commit — pure
-            # scaling tax; raw writes are ~10× faster and /tmp is cheap
-            np.savez(os.path.join(state_dir, f"seen_shard_{i}.npz"), **arrays)
+            write_snapshot(os.path.join(state_dir, f"seen_shard_{i}.npz"), snap)
+    if state_dir is not None:
         metrics = dict(metrics, seen_snapshot_dir=state_dir)
     tmp = chunk_marker(out_dir, epoch, chunk) + ".tmp"
     with open(tmp, "w") as f:
@@ -97,15 +113,32 @@ def last_complete_epoch(out_dir: str) -> int:
 
 
 def commit_epoch(out_dir: str, epoch: int, metrics: dict,
-                 seen_snapshots: list[dict] | None) -> None:
-    if seen_snapshots is not None:
+                 seen_snapshots: list[dict] | None = None,
+                 reuse_state_dir: str | None = None) -> None:
+    """Epoch-level commit.  ``reuse_state_dir`` hardlinks (or copies)
+    the FINAL chunk's already-written shard snapshots instead of
+    re-pulling every shard actor — the seen set hasn't changed between
+    the last chunk commit and the epoch commit, so the re-serialize was
+    a pure duplicate (r2→r3 headline-bench attribution: ~1 s/epoch).
+    Hardlinks survive ``drop_chunk_state``'s cleanup of the chunk dir."""
+    if seen_snapshots is not None or reuse_state_dir is not None:
         state_dir = os.path.join(out_dir, f"state/epoch={epoch}")
         os.makedirs(state_dir, exist_ok=True)
-        for i, snap in enumerate(seen_snapshots):
-            path = os.path.join(state_dir, f"seen_shard_{i}.npz")
-            arrays = {k: np.frombuffer(v, dtype=np.uint8) if isinstance(v, bytes) else np.asarray(v)
-                      for k, v in snap.items()}
-            np.savez(path, **arrays)    # uncompressed: see commit_chunk
+        if seen_snapshots is not None:
+            for i, snap in enumerate(seen_snapshots):
+                write_snapshot(os.path.join(state_dir, f"seen_shard_{i}.npz"),
+                               snap)
+        else:
+            import glob
+            import shutil
+            for src in glob.glob(os.path.join(reuse_state_dir, "*.npz")):
+                dst = os.path.join(state_dir, os.path.basename(src))
+                if os.path.exists(dst):
+                    os.remove(dst)
+                try:
+                    os.link(src, dst)
+                except OSError:          # cross-device: fall back to copy
+                    shutil.copy2(src, dst)
         metrics = dict(metrics, seen_snapshot_dir=state_dir)
     tmp = epoch_marker(out_dir, epoch) + ".tmp"
     with open(tmp, "w") as f:

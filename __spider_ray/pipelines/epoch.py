@@ -457,6 +457,7 @@ def run_crawl(
                 from ..sources import doc_store
                 doc_commit = doc_store.commit_staged_documents(
                     docs_dir, unique_key="doc_id" if verify_unique else None)
+                t0 = _t(f"e0.c{chunk} doc-commit", t0)
                 n_docs = doc_commit["rows"]
                 totals["records"] += n_rec
                 totals["docs"] += n_docs
@@ -487,8 +488,13 @@ def run_crawl(
                 totals["fares"] += n_fares
                 metrics = {"fares": n_fares, "totals": dict(totals)}
 
+            # shard actors write their own snapshot files in parallel
+            # (driver-serial snapshot pull + savez was ~2 s/commit)
+            state_dir = seen.snapshot_all_to(
+                ckpt.chunk_state_dir(out_dir, epoch, chunk))
+            t0 = _t(f"e{epoch}.c{chunk} snapshot", t0)
             ckpt.commit_chunk(out_dir, epoch, chunk, metrics,
-                              seen.snapshot_all())
+                              state_dir=state_dir)
             _t(f"e{epoch}.c{chunk} commit", t0)
             if _fail_after_chunk is not None and chunk >= _fail_after_chunk:
                 raise RuntimeError(
@@ -496,8 +502,14 @@ def run_crawl(
 
         epoch_metrics = {"totals": dict(totals), "seen_stats": seen.stats(),
                          "policy_stats": policy.stats()}
-        ckpt.commit_epoch(out_dir, epoch, epoch_metrics, seen.snapshot_all())
+        # the seen set hasn't changed since the final chunk's commit —
+        # hardlink that snapshot instead of re-pulling every shard
+        t0 = _time.perf_counter()
+        ckpt.commit_epoch(out_dir, epoch, epoch_metrics,
+                          reuse_state_dir=ckpt.chunk_state_dir(
+                              out_dir, epoch, n_chunks - 1))
         ckpt.drop_chunk_state(out_dir, epoch)
+        _t(f"e{epoch} epoch-commit", t0)
 
     return {"last_epoch": ckpt.last_complete_epoch(out_dir), "totals": totals,
             "seen": seen.stats(), "policy": policy.stats()}

@@ -246,6 +246,43 @@ def _media_meta(sf_dir: str):
     return decoded.map_batches(media.resize_plan_batch, batch_format="pyarrow")
 
 
+def _captcha_detect(sf_dir: str):
+    """T1/T2/T4 with REAL pixel compute (stages/captcha.py): media
+    spans → synthetic captcha BMP (pure function of the ref) → template
+    ZNCC conv → the reference's NMS (utils/utils.py:230-268) →
+    prompt-ordered click targets, flattened one row per click.
+    Rows-only: the conv/NMS math isn't SQL-expressible; exactness is
+    pytest-asserted against hand-computed fixtures
+    (tests/test_captcha.py)."""
+    import numpy as np
+
+    from ..stages import captcha as cap
+    spans = crawl.exploded_spans(sf_dir)
+    refs = spans.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "media"))
+                   .select(["media_ref"]),
+        batch_format="pyarrow")
+    detected = refs.map_batches(cap.CaptchaDetector, batch_format="pyarrow",
+                                batch_size=64, concurrency=4, num_cpus=0.5)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        n = t["n_boxes"].to_numpy().astype(np.int64)
+        idx = np.repeat(np.arange(len(n)), n)
+        order = (np.arange(int(n.sum())) -
+                 np.repeat(np.cumsum(n) - n, n) + 1).astype(np.int64)
+        prompts = t["captcha_text"].to_pylist()
+        glyphs = [prompts[i][j - 1] for i, j in zip(idx, order)]
+        return pa.table({
+            "media_ref": t["media_ref"].take(pa.array(idx)),
+            "click_order": pa.array(order),
+            "glyph": pa.array(glyphs, pa.string()),
+            "x": t["click_xs"].combine_chunks().flatten(),
+            "y": t["click_ys"].combine_chunks().flatten(),
+            "conf_bp": t["conf_bp"].combine_chunks().flatten(),
+        })
+    return detected.map_batches(flatten, batch_format="pyarrow")
+
+
 def _crawl_rendered_spans(sf_dir: str):
     """M13/S4 — the RENDER path end-to-end with an oracle: frontier →
     RenderWorker actor pool (synthetic rendered HTML; selenium
@@ -457,6 +494,7 @@ JOIN apdim a2 ON r.to_city_code = a2.ap_code"""
     register("crawl_flights_enriched", _crawl_flights_enriched, enriched_sql)
     register("media_meta", _media_meta, media_sql)
     register("media_pixels", _media_pixels, None)
+    register("captcha_detect", _captcha_detect, None)
     register("media_audio", _media_audio, None)
     register("media_frames", _media_frames, None)
     register("crawl_rendered_spans", _crawl_rendered_spans,

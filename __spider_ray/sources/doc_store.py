@@ -110,8 +110,8 @@ def commit_staged_documents(path: str, expected_rows: int | None = None,
         with open(os.path.join(path, MANIFEST), "w") as f:
             json.dump(commit, f)
         return commit
-    staged = ray.data.read_parquet(path, file_extensions=["parquet"])
-    n = staged.count()                           # parquet-metadata count
+    import pyarrow.parquet as _pq
+    n = sum(_pq.read_metadata(f).num_rows for f in parts)  # footers only
     # ALL verification runs on the parquet staging BEFORE anything is
     # published to the Lance table — a failed audit must not leave bad
     # rows committed and readable.
@@ -154,6 +154,7 @@ def commit_staged_documents(path: str, expected_rows: int | None = None,
         # chunk commits exactly once, and a crash-resume re-stages the
         # SAME chunk — append would stack the failed attempt's rows
         # under the re-run's (duplicate docs)
+        staged = ray.data.read_parquet(path, file_extensions=["parquet"])  # pragma: no cover
         staged.write_lance(_lance_path(path), mode="overwrite")  # pragma: no cover
         n = ray.data.read_lance(_lance_path(path)).count()       # pragma: no cover
     commit = {"rows": n, "unique": n_unique,

@@ -84,35 +84,29 @@ class CaptchaScorer:
 
     Output mirrors the detect server's contract
     (detect_server.py:278-291): ordered click coordinates + recognized
-    text per artifact — here md5-derived fakes."""
+    text per artifact.  Since round 3 the scoring is REAL pixel math —
+    the pure-numpy template-conv + NMS + prompt-order pipeline in
+    ``stages/captcha.py`` (the md5-derived fake boxes are gone); torch
+    remains the import-gated plug point for a real YOLO deployment."""
 
-    def __init__(self, conf_thres: float = 0.7, strict: bool = False):
-        self.conf_thres = conf_thres
+    def __init__(self, conf_thres: float | None = None, strict: bool = False):
+        from . import captcha as _cap
         self.strict = strict
         try:                                       # pragma: no cover
             import torch  # noqa: F401
             self.model = "yolov3-would-load-here"
         except ImportError:
             self.model = None
+        self.detector = _cap.CaptchaDetector(
+            conf_thres if conf_thres is not None else _cap.CONF_THRES)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        refs = batch["media_ref"].to_pylist()
         if self.strict and self.model is None:
             raise NotImplementedError(
                 "real captcha scoring requires torch+paddleocr (absent); "
-                "strict=False returns deterministic fake detections")
-        n_boxes, xs, ys, texts = [], [], [], []
-        for r in refs:
-            h = synth.md5("captcha:" + str(r))
-            k = 2 + int(h[0], 16) % 3                      # 2-4 click targets
-            n_boxes.append(k)
-            xs.append([int(h[1 + 2 * j:3 + 2 * j], 16) * 2 for j in range(k)])
-            ys.append([int(h[9 + 2 * j:11 + 2 * j], 16) for j in range(k)])
-            texts.append("".join(chr(0x4E00 + int(h[17 + j], 16)) for j in range(k)))
-        return batch.append_column("n_boxes", pa.array(n_boxes, pa.int32())) \
-                    .append_column("click_xs", pa.array(xs, pa.list_(pa.int32()))) \
-                    .append_column("click_ys", pa.array(ys, pa.list_(pa.int32()))) \
-                    .append_column("captcha_text", pa.array(texts, pa.string()))
+                "strict=False runs the pure-numpy template detector")
+        out = self.detector(batch)
+        return out.drop_columns(["conf_bp"])       # legacy contract
 
 
 def slider_track(distance: int) -> list[int]:

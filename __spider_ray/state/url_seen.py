@@ -57,6 +57,16 @@ class UrlSeenShard:
     def snapshot(self) -> dict:
         return self.filter.snapshot()
 
+    def snapshot_to(self, path: str) -> str:
+        """Write this shard's snapshot npz DIRECTLY from the actor —
+        the driver never holds the table bytes, and all shards
+        serialize in parallel.  On a multi-node cluster the checkpoint
+        dir must be shared storage (same requirement as every other
+        out_dir artifact)."""
+        from ..checkpoint import write_snapshot
+        write_snapshot(path, self.filter.snapshot())
+        return path
+
     def restore(self, snap: dict) -> None:
         self.filter = CuckooFilter.restore(snap)
 
@@ -126,6 +136,16 @@ class UrlSeenSet:
 
     def snapshot_all(self) -> list[dict]:
         return ray.get([s.snapshot.remote() for s in self.shards])
+
+    def snapshot_all_to(self, state_dir: str) -> str:
+        """All shards write their own snapshot files concurrently
+        (parallel serialize + IO, nothing ships to the driver)."""
+        import os
+        os.makedirs(state_dir, exist_ok=True)
+        ray.get([s.snapshot_to.remote(
+            os.path.join(state_dir, f"seen_shard_{i}.npz"))
+            for i, s in enumerate(self.shards)])
+        return state_dir
 
     def restore_all(self, snaps: list[dict]) -> None:
         ray.get([s.restore.remote(snap) for s, snap in zip(self.shards, snaps)])
