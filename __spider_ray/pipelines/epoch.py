@@ -185,14 +185,17 @@ def _count_parquet(d: str) -> int:
 
 
 def _side_write(records: pa.Table, docs_dir: str, links_dir: str,
-                links: bool = True) -> pa.Table:
+                links: bool = True, date: str | None = None) -> pa.Table:
     """Single-pass tee: derive span docs + detail links from a parse
     output batch and write them as parquet parts RIGHT HERE, then pass
     the records through to the main write_parquet sink.  Page rows are
     contiguous in parse output, so doc assembly needs no shuffle at all.
     Part filenames derive from the batch's first doc_id → a retried
     task overwrites its own file (idempotent), never duplicates.
-    ``links=False`` for API variants without a detail hop (v2)."""
+    ``links=False`` for API variants without a detail hop (v2).
+    ``date`` adds the daily partition layer (``date=YYYY_MM_DD/``) —
+    the reference's table-per-day layout (``ylutils/ylutil.py:13-15``
+    names a MySQL table per crawl day)."""
     import pyarrow.parquet as pq
     if records.num_rows == 0:
         return records
@@ -206,7 +209,10 @@ def _side_write(records: pa.Table, docs_dir: str, links_dir: str,
     sk = kmv_sketch(hash64(docs["doc_id"].combine_chunks()))
     docs = docs.replace_schema_metadata(
         {b"kmv_doc_id": sk.tobytes(), b"n_docs": str(docs.num_rows).encode()})
-    pq.write_table(docs, os.path.join(docs_dir, f"{stem}.parquet"))
+    part_dir = docs_dir if date is None \
+        else os.path.join(docs_dir, f"date={date}")
+    os.makedirs(part_dir, exist_ok=True)
+    pq.write_table(docs, os.path.join(part_dir, f"{stem}.parquet"))
     if links:
         link_rows = detail.expand_detail_links(records)
         pq.write_table(link_rows, os.path.join(links_dir, f"{stem}.parquet"))
@@ -226,11 +232,14 @@ def run_crawl(
     resume: bool = True,
     max_depth: int = 1,
     n_days: int | None = None,
+    from_date: int | None = None,
+    to_date: int | None = None,
     salt_hot: bool = False,
     n_chunks: int = 1,
     robots_fetcher=None,
     verify_unique: bool = False,
     api: str = "v1",
+    crawl_date: str | None = None,
     _fail_after_chunk: int | None = None,
 ) -> dict:
     """Run the full crawl; returns the final metrics dict.
@@ -250,6 +259,12 @@ def run_crawl(
     # over the same seeds); the v2 API has no detail hop, so the crawl
     # is single-epoch.
     assert api in ("v1", "v2")
+    # daily doc partition (ylutil.py:13-15 table-per-day analog): the
+    # synthetic web's fixed crawl timestamp by default; injectable so
+    # multi-day stores and cross-day resume are testable
+    if crawl_date is None:
+        from .. import synth as _synth
+        crawl_date = _synth.CREATE_TIME_STR[:10].replace("-", "_")
     if api == "v2":
         max_depth = 0
     if max_depth > 1:
@@ -342,8 +357,12 @@ def run_crawl(
 
     for epoch in range(start_epoch, max_depth + 1):
         if epoch == 0:
+            # from_date/to_date select an absolute day-offset window
+            # (expand.day_window, ctripSpider.py:148-153); n_days is
+            # the rolling-horizon default
             frontier_full = expand.frontier_dataset(
-                sf_dir, n_days or synth.N_DAYS, path=url_path)
+                sf_dir, n_days or synth.N_DAYS, path=url_path,
+                from_date=from_date, to_date=to_date)
         else:
             fdir = os.path.join(out_dir, f"frontier/epoch={epoch}")
             if not os.path.exists(fdir):
@@ -444,7 +463,8 @@ def run_crawl(
                     .map_batches(parse_fn, batch_format="pyarrow",
                                  **_no_retry)
                     .map_batches(lambda t: _side_write(t, docs_dir, links_dir,
-                                                       links=api == "v1"),
+                                                       links=api == "v1",
+                                                       date=crawl_date),
                                  batch_format="pyarrow",
                                  **_no_retry)
                     .write_parquet(records_dir)

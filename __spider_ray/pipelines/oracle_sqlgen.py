@@ -56,9 +56,14 @@ seeds AS (
   FROM seeds_raw
 )"""
 
-def _frontier_sql(path: str) -> str:
+def _frontier_sql(path: str, day_from: int = 0,
+                  day_to: int | None = None) -> str:
     """Frontier CTE parameterized by the URL path segment
-    (``flightlist`` = v1 API, ``listcards`` = v2 / ctripSpider02)."""
+    (``flightlist`` = v1 API, ``listcards`` = v2 / ctripSpider02) and
+    the day-offset window (default ``range(N_DAYS)``; an explicit
+    INCLUSIVE [day_from, day_to] mirrors ``expand.day_window`` /
+    ``ctripSpider.py:148-153``)."""
+    hi = (day_to + 1) if day_to is not None else synth.N_DAYS
     return f"""
 frontier_all AS (
   SELECT s.seed_id AS seed_index,
@@ -70,7 +75,7 @@ frontier_all AS (
       || strftime(DATE '{synth.BASE_DATE_STR}' + CAST(d.day_offset AS INTEGER), '%Y-%m-%d')
       || '?v=' || CAST(CASE WHEN s.seed_id % 5 = 0 THEN 0 ELSE s.seed_id END AS VARCHAR) AS url,
     s.from_city_name, s.from_city_code, s.to_city_name, s.to_city_code
-  FROM seeds s CROSS JOIN (SELECT range AS day_offset FROM range({synth.N_DAYS})) d
+  FROM seeds s CROSS JOIN (SELECT range AS day_offset FROM range({day_from}, {hi})) d
 ),
 frontier AS (
   SELECT * FROM frontier_all
@@ -80,6 +85,8 @@ frontier AS (
 
 FRONTIER_CTE = _frontier_sql("flightlist")
 FRONTIER_V2_CTE = _frontier_sql("listcards")
+RANGE_FROM, RANGE_TO = 3, 9          # the oracled absolute-window example
+FRONTIER_RANGE_CTE = _frontier_sql("flightlist", RANGE_FROM, RANGE_TO)
 
 _H = "md5(url)"
 FETCH_CTE = f"""

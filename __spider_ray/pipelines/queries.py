@@ -64,6 +64,28 @@ def _crawl_frontier(sf_dir: str):
     return ds.map_batches(flatten, batch_format="pyarrow")
 
 
+def _crawl_frontier_range(sf_dir: str):
+    """M1 absolute-window variant: an explicit inclusive [from, to]
+    day-offset window (``ctripSpider.py:148-153``'s third branch /
+    ``ylSpider06.py:255-262``) instead of the rolling n-day horizon."""
+    from ..stages import expand
+    ds = crawl.dedup_frontier(expand.frontier_dataset(
+        sf_dir, from_date=osql.RANGE_FROM, to_date=osql.RANGE_TO))
+
+    def flatten(t: pa.Table) -> pa.Table:
+        meta = t["meta"].combine_chunks()
+        return pa.table(
+            {
+                "url": t["url"],
+                "host": t["host"],
+                "seed_index": t["seed_index"],
+                "day_offset": t["day_offset"].cast(pa.int64()),
+                "flight_time": meta.field("flight_time"),
+            }
+        )
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
 def _crawl_fetch(sf_dir: str):
     ds = crawl.fetched(sf_dir)
 
@@ -420,6 +442,8 @@ _CRAWL_SQL = {
     "crawl_seeds": f"{osql.with_chain(osql.SEEDS_CTE)} SELECT * FROM seeds",
     "crawl_frontier": f"{osql.with_chain(osql.SEEDS_CTE, osql.FRONTIER_CTE)} "
                       "SELECT url, host, seed_index, day_offset, flight_time FROM frontier",
+    "crawl_frontier_range": f"{osql.with_chain(osql.SEEDS_CTE, osql.FRONTIER_RANGE_CTE)} "
+                            "SELECT url, host, seed_index, day_offset, flight_time FROM frontier",
     "crawl_fetch": f"{osql.CRAWL_BASE} SELECT url, CAST(status AS BIGINT) AS status, error FROM fetched",
     "crawl_flights": f"{osql.CRAWL_FULL} SELECT * FROM records",
     "crawl_flights_v2": f"{osql.CRAWL_V2} SELECT * FROM records_v2",
@@ -458,6 +482,8 @@ def _ensure_builtin() -> None:
         return
     register("crawl_seeds", _crawl_seeds, _CRAWL_SQL["crawl_seeds"])
     register("crawl_frontier", _crawl_frontier, _CRAWL_SQL["crawl_frontier"])
+    register("crawl_frontier_range", _crawl_frontier_range,
+             _CRAWL_SQL["crawl_frontier_range"])
     register("crawl_fetch", _crawl_fetch, _CRAWL_SQL["crawl_fetch"])
     register("crawl_flights", _crawl_flights, _CRAWL_SQL["crawl_flights"])
     register("crawl_flights_v2", _crawl_flights_v2, _CRAWL_SQL["crawl_flights_v2"])

@@ -93,7 +93,11 @@ def commit_staged_documents(path: str, expected_rows: int | None = None,
     - the manifest records the verified count.
     """
     import glob as _glob
-    parts = _glob.glob(os.path.join(path, "*.parquet"))
+    # recursive: parts may sit under daily partition dirs
+    # (date=YYYY_MM_DD/ — the reference's table-per-day layout,
+    # ylutils/ylutil.py:13-15)
+    parts = _glob.glob(os.path.join(path, "**", "*.parquet"),
+                       recursive=True)
     if not parts:
         # empty chunk (all pages errored / filtered): commit zero rows —
         # Ray's read_parquet raises on an empty directory.  The
@@ -157,9 +161,19 @@ def commit_staged_documents(path: str, expected_rows: int | None = None,
         staged = ray.data.read_parquet(path, file_extensions=["parquet"])  # pragma: no cover
         staged.write_lance(_lance_path(path), mode="overwrite")  # pragma: no cover
         n = ray.data.read_lance(_lance_path(path)).count()       # pragma: no cover
+    # per-day partition inventory (date=… layer): the manifest is the
+    # operational view the reference gets from its table-per-day names
+    partitions: dict[str, int] = {}
+    for f in parts:
+        seg = next((s[5:] for s in f.split(os.sep) if s.startswith("date=")),
+                   None)
+        if seg is not None:
+            partitions[seg] = partitions.get(seg, 0) \
+                + _pq.read_metadata(f).num_rows
     commit = {"rows": n, "unique": n_unique,
               "kmv_distinct_est": round(kmv_est, 1) if kmv_est is not None else None,
               "kmv_covered_rows": covered_rows or None,
+              "partitions": partitions or None,
               "format": "lance" if HAVE_LANCE else "parquet"}
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(commit, f)
@@ -189,7 +203,8 @@ def _kmv_screen(path: str) -> tuple[float | None, int, bool, bool]:
 
     from ..functions.hashing import KMV_K, kmv_estimate, kmv_merge
     sketches, covered, part_dup = [], 0, False
-    for f in glob.glob(os.path.join(path, "*.parquet")):
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                       recursive=True):
         meta = pq.read_schema(f).metadata or {}
         if b"kmv_doc_id" in meta:
             sk = np.frombuffer(meta[b"kmv_doc_id"], dtype=np.uint64)

@@ -140,17 +140,38 @@ def seeds_dataset(sf_dir: str, n_blocks: int | None = None) -> ray.data.Dataset:
     )
 
 
+def day_window(from_date: int, to_date: int) -> np.ndarray:
+    """The reference's crawl-window selector
+    (``spiders/ctripSpider.py:148-153``), verbatim semantics:
+    (0, 0) → today only; either == -1 → the default 15-day horizon;
+    else the INCLUSIVE absolute offset range [from_date, to_date]."""
+    if from_date == 0 and to_date == 0:
+        return np.array([0], dtype=np.int32)
+    if from_date == -1 or to_date == -1:
+        return np.arange(synth.N_DAYS, dtype=np.int32)
+    if to_date < from_date:
+        raise ValueError(f"empty window [{from_date}, {to_date}]")
+    return np.arange(from_date, to_date + 1, dtype=np.int32)
+
+
 def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS,
-                 path: str = "flightlist", prio_bits: int = 31) -> pa.Table:
-    """seeds batch → frontier batch: N_DAYS rows per seed (M1).
+                 path: str = "flightlist", prio_bits: int = 31,
+                 days: np.ndarray | None = None) -> pa.Table:
+    """seeds batch → frontier batch: one row per seed × day (M1).
 
     Vectorized: np.repeat over the seed columns × np.tile over the day
     vector — the Ray-Data replacement for the reference's nested
-    seed×day loop (``spiders/ctripSpider.py:136-229``).
-    """
+    seed×day loop (``spiders/ctripSpider.py:136-229``).  ``days``
+    overrides the default ``range(n_days)`` with an explicit offset
+    window (``day_window``); priority ranks by POSITION in the window
+    so crawl order stays seed-major × window order."""
     n = batch.num_rows
+    day_vals = np.asarray(days, dtype=np.int32) if days is not None \
+        else np.arange(n_days, dtype=np.int32)
+    n_days = len(day_vals)
     idx = np.repeat(np.arange(n), n_days)
-    days = np.tile(np.arange(n_days, dtype=np.int32), n)
+    days = np.tile(day_vals, n)
+    day_rank = np.tile(np.arange(n_days, dtype=np.int64), n)
     rep = batch.take(pa.array(idx))
     day_str = pa.array(synth.day_strs(days), type=pa.string())
     seed_index = rep["seed_id"].cast(pa.int64())
@@ -177,8 +198,10 @@ def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS,
         names=["from_city", "to_city", "from_city_code", "to_city_code",
                "flight_time", "is_low_price", "user_agent", "create_time"],
     )
-    # reference crawl order = seed-file order × day order (§2.6 O4)
-    priority = seed_index.to_numpy().astype(np.float64) * n_days + days
+    # reference crawl order = seed-file order × day order (§2.6 O4);
+    # rank (position in the window), not the raw offset, so absolute
+    # windows pack densely into the priority bits
+    priority = seed_index.to_numpy().astype(np.float64) * n_days + day_rank
     # numeric shuffle key: high bits = host hash (locality), low bits =
     # priority (order) — one int64 sort instead of a (string, float) sort
     sort_key = pack_sort_key(hash64(hosts), priority, prio_bits)
@@ -197,10 +220,18 @@ def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS,
 
 
 def frontier_dataset(sf_dir: str, n_days: int = synth.N_DAYS,
-                     path: str = "flightlist") -> ray.data.Dataset:
+                     path: str = "flightlist",
+                     from_date: int | None = None,
+                     to_date: int | None = None) -> ray.data.Dataset:
     """seeds → expanded frontier (lazy, streaming).  The sort-key's
     priority width is measured from the customer table once (footer
-    stats) so the packing never overflows at large scale factors."""
-    pb = prio_bits_for(sf_dir, n_days)
+    stats) so the packing never overflows at large scale factors.
+    ``from_date``/``to_date`` select an absolute day-offset window
+    (``day_window``); default is the rolling ``range(n_days)``."""
+    days = day_window(from_date, to_date) \
+        if from_date is not None and to_date is not None else None
+    n_eff = len(days) if days is not None else n_days
+    pb = prio_bits_for(sf_dir, n_eff)
     return seeds_dataset(sf_dir).map_batches(
-        lambda b: expand_batch(b, n_days, path, pb), batch_format="pyarrow")
+        lambda b: expand_batch(b, n_days, path, pb, days=days),
+        batch_format="pyarrow")

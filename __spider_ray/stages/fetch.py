@@ -181,9 +181,13 @@ class FetchWorker:
 
     def __init__(self, politeness=None, max_retries: int = 2,
                  proxies: list[str] | None = None, credentials=None,
-                 transport: str = "synthetic"):
+                 proxy_pool=None, transport: str = "synthetic"):
         self.politeness = politeness          # HostPolicyClient or None
         self.credentials = credentials        # CredentialClient or None
+        self.proxy_pool = proxy_pool          # ProxyPoolClient or None —
+        # the TTL-rotating pool (http_proxy.py:12-36 semantics: hourly
+        # batches, 61-min expiry); a static ``proxies`` list remains the
+        # zero-dependency default
         self.max_retries = max_retries
         self.proxies = proxies or [f"proxy-{i}.pool.test:8080" for i in range(8)]
         self._proxy_i = 0
@@ -193,7 +197,9 @@ class FetchWorker:
         self.transport = RealTransport(self.session_id) \
             if transport == "real" else None
 
-    def next_proxy(self) -> str:
+    def next_proxy(self, key: str | None = None) -> str:
+        if self.proxy_pool is not None:
+            return self.proxy_pool.pick(key or str(self._proxy_i))
         p = self.proxies[self._proxy_i % len(self.proxies)]
         self._proxy_i += 1
         return p
@@ -213,7 +219,7 @@ class FetchWorker:
             last_err = None
             for _attempt in range(self.max_retries + 1):   # bounded (vs the
                 try:                                       # reference's unbounded
-                    headers = {"X-Proxy": self.next_proxy()}   # recursion, T4)
+                    headers = {"X-Proxy": self.next_proxy(u)}  # recursion, T4)
                     if token:
                         headers["Cookie"] = token
                     st, body = self.transport.fetch(u, headers=headers)

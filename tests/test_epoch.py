@@ -266,3 +266,45 @@ def test_api_mismatch_on_resume_rejected():
     with pytest.raises(ValueError, match="api"):
         epoch.run_crawl(SF_SMALL, out_c, resume=True, n_seen_shards=2,
                         fetch_concurrency=2, api="v2")
+
+def test_daily_partitioned_doc_store_and_cross_day_resume():
+    """Table-per-day analog (ylutil.py:13-15): doc parts land under a
+    date=YYYY_MM_DD layer, the commit manifest inventories per-day
+    partitions, and a crash-resume on day 2 preserves day-1 partitions
+    byte-for-byte while completing day 2 under its own date."""
+    import pytest
+    from __spider_ray.sources import doc_store
+
+    out_d = "/tmp/spider_ray_test/daily"
+    shutil.rmtree(out_d, ignore_errors=True)
+    epoch.run_crawl(SF_SMALL, out_d, resume=False, n_seen_shards=2,
+                    fetch_concurrency=2, max_depth=0,
+                    crawl_date="2026_01_01")
+    m = doc_store.manifest(os.path.join(out_d, "docs/epoch=0/chunk=0"))
+    assert m["partitions"] == {"2026_01_01": m["rows"]} and m["rows"] > 0
+    d1_dir = os.path.join(out_d, "docs/epoch=0/chunk=0/date=2026_01_01")
+    assert os.path.isdir(d1_dir)
+
+    # day 2: a FRESH daily crawl into its own store (the reference
+    # starts a new table each day), crashing mid-epoch…
+    out_d2 = "/tmp/spider_ray_test/daily2"
+    shutil.rmtree(out_d2, ignore_errors=True)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        epoch.run_crawl(SF_SMALL, out_d2, resume=False, n_seen_shards=2,
+                        fetch_concurrency=2, max_depth=0, n_chunks=2,
+                        crawl_date="2026_01_02", _fail_after_chunk=0)
+    # …and resuming under the SAME date completes without re-fetching
+    res = epoch.run_crawl(SF_SMALL, out_d2, resume=True, n_seen_shards=2,
+                          fetch_concurrency=2, max_depth=0, n_chunks=2,
+                          crawl_date="2026_01_02")
+    _order, _seen, sim_docs = simulate(SF_SMALL)
+    total = 0
+    for c in (0, 1):
+        mc = doc_store.manifest(os.path.join(out_d2, f"docs/epoch=0/chunk={c}"))
+        assert set(mc["partitions"]) <= {"2026_01_02"}
+        total += mc["rows"]
+    assert total == len(sim_docs) == res["totals"]["docs"]
+    # hive read exposes the partition column for per-day pruning
+    docs = ray.data.read_parquet(os.path.join(out_d2, "docs/epoch=0")).to_pandas()
+    assert set(docs["date"].astype(str)) == {"2026_01_02"}
+    assert set(docs["doc_id"]) == set(sim_docs)

@@ -271,3 +271,40 @@ def test_fetch_worker_live_path_with_fake_transport():
     proxies = [h["X-Proxy"] for _u, h in w.transport.calls]
     assert len(set(proxies)) > 1
     assert all(h["Cookie"] == "tok-ctrip" for _u, h in w.transport.calls)
+
+
+def test_day_window_reference_semantics():
+    """ctripSpider.py:148-153 verbatim: (0,0)→[0]; -1 anywhere→15-day
+    horizon; else inclusive [from, to]."""
+    import numpy as np
+    import pytest
+    from __spider_ray.stages.expand import day_window
+    assert day_window(0, 0).tolist() == [0]
+    assert day_window(-1, 7).tolist() == list(range(15))
+    assert day_window(4, -1).tolist() == list(range(15))
+    assert day_window(3, 9).tolist() == [3, 4, 5, 6, 7, 8, 9]
+    assert day_window(5, 5).tolist() == [5]
+    with pytest.raises(ValueError):
+        day_window(9, 3)
+
+
+def test_expand_batch_day_window_offsets_and_priority():
+    """An absolute window keeps the true day offsets in day_offset (and
+    the URLs) while priority ranks by POSITION so crawl order stays
+    seed-major × window order."""
+    import numpy as np
+    import pyarrow as pa
+    from __spider_ray.stages.expand import day_window, expand_batch
+    seeds = pa.table({
+        "seed_id": pa.array([7, 8], pa.int64()),
+        "from_city_name": pa.array(["x", "y"]),
+        "from_city_code": pa.array(["AAA", "BBB"]),
+        "to_city_name": pa.array(["z", "w"]),
+        "to_city_code": pa.array(["CCC", "DDD"]),
+    })
+    out = expand_batch(seeds, days=day_window(3, 5))
+    assert out.num_rows == 6
+    assert out["day_offset"].to_pylist() == [3, 4, 5, 3, 4, 5]
+    prio = out["priority"].to_numpy()
+    assert prio.tolist() == [21.0, 22.0, 23.0, 24.0, 25.0, 26.0]
+    assert all("2026-01-0" in u for u in out["url"].to_pylist())

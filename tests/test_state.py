@@ -159,3 +159,52 @@ def test_robots_pluggable_fetcher_denies():
     # TTL cache: second call answers from cache (same result, no refetch crash)
     mask2 = deny.robots_mask(pa.array(["blocked.test", "ok.test"]))
     assert list(mask2) == [False, True]
+
+
+def test_proxy_pool_ttl_rotation_and_overlap():
+    """http_proxy.py semantics with a fake clock: hourly mint, 61-min
+    expiry, a 1-minute two-batch overlap at each rollover, and never
+    an empty pool."""
+    from __spider_ray.state.proxy_pool import ProxyPool
+
+    class Clock:
+        t = 0.0
+
+        def __call__(self):
+            return self.t
+    clk = Clock()
+    pool = ProxyPool(pool_size=10, refresh_s=3600.0, ttl_s=61 * 60.0,
+                     clock=clk)
+    first = pool.get_pool()
+    assert len(first) == 10 and all("proxy-0-" in p for p in first)
+
+    clk.t = 3599.0                      # still within the first hour
+    assert pool.get_pool() == first
+
+    clk.t = 3600.0                      # rollover: batch 1 minted,
+    both = pool.get_pool()              # batch 0 still has 60s of TTL
+    assert len(both) == 20
+    assert all("proxy-1-" in p for p in both[:10])    # newest first
+
+    clk.t = 3660.0                      # 61 min: batch 0 expired
+    second = pool.get_pool()
+    assert len(second) == 10 and all("proxy-1-" in p for p in second)
+    assert pool.stats()["minted_batches"] == 2
+
+    for step in range(2, 6):            # long run: always non-empty
+        clk.t = step * 3600.0 + 30.0
+        assert len(pool.get_pool()) >= 10
+
+
+def test_proxy_pool_client_and_fetch_worker(ray_session):
+    """Actor-backed client: deterministic per-URL pick from the live
+    pool; FetchWorker routes next_proxy through it when given."""
+    from __spider_ray.stages.fetch import FetchWorker
+    from __spider_ray.state.proxy_pool import ProxyPoolClient
+    client = ProxyPoolClient(pool_size=5)
+    p1 = client.pick("https://a.test/x")
+    assert p1 == client.pick("https://a.test/x")      # deterministic
+    assert p1 in client.pool()
+    w = FetchWorker(proxy_pool=client)
+    assert w.next_proxy("https://a.test/x") == p1
+    assert client.stats()["live_proxies"] == 5
