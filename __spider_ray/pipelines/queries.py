@@ -521,6 +521,16 @@ JOIN apdim a2 ON r.to_city_code = a2.ap_code"""
     register("media_meta", _media_meta, media_sql)
     register("media_pixels", _media_pixels, None)
     register("captcha_detect", _captcha_detect, None)
+
+    def _knn_graph_topk(sf_dir: str):
+        """Graph ANN (NN-descent + sharded-index beam search) — the
+        isotropic-data scale path where cell probing can't reach 0.9
+        recall at 1/3 touched; rows-only (approximate by design), with
+        recall-vs-brute-force and touch-budget asserted in
+        tests/test_knn_graph.py."""
+        from ..stages.knn_graph import graph_topk
+        return graph_topk(sf_dir)
+    register("knn_graph_topk", _knn_graph_topk, None)
     register("media_audio", _media_audio, None)
     register("media_frames", _media_frames, None)
     register("crawl_rendered_spans", _crawl_rendered_spans,
