@@ -158,8 +158,10 @@ def _load_snapshots(state_dir: str, n_shards: int) -> list[dict]:
         snap = {}
         for k in z.files:
             v = z[k]
-            snap[k] = v.tobytes() if v.dtype == np.uint8 and v.ndim == 1 and k == "table" \
-                else (int(v) if v.ndim == 0 else v.tobytes())
+            # scalars → int; arrays pass through (CuckooFilter.restore
+            # accepts ndarray or bytes for the dense "table" field and
+            # ndarrays for the sparse "idx"/"fps" fields)
+            snap[k] = int(v) if v.ndim == 0 else v
         snaps.append(snap)
     return snaps
 

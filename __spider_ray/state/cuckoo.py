@@ -189,18 +189,42 @@ class CuckooFilter:
 
     # ---------------------------------------------------------- snapshot
     def snapshot(self) -> dict:
-        return {
+        """Occupancy-proportional when sparse: below ~1/3 load, ship
+        (flat slot index, fingerprint) pairs — 12 B/key — instead of the
+        whole 4 B/slot table.  A young 10^10-capacity filter (or any
+        over-provisioned shard) snapshots in O(keys), not O(capacity);
+        dense stays optimal above the crossover."""
+        base = {
             "n_buckets": self.n_buckets,
             "bucket_size": self.bucket_size,
             "count": self.count,
-            "table": self.table.tobytes(),
         }
+        flat = self.table.ravel()
+        if self.count * 3 < flat.size:          # 12 B/key < 4 B/slot
+            nz = np.nonzero(flat)[0]
+            base["idx"] = nz.astype(np.uint64)
+            base["fps"] = flat[nz]
+        else:
+            base["table"] = self.table.tobytes()
+        return base
 
     @classmethod
     def restore(cls, snap: dict) -> "CuckooFilter":
         f = cls(n_buckets=snap["n_buckets"], bucket_size=snap["bucket_size"])
-        f.table = np.frombuffer(snap["table"], dtype=np.uint32).reshape(
-            snap["n_buckets"], snap["bucket_size"]).copy()
+        if "table" in snap:
+            t = snap["table"]
+            flat = (np.frombuffer(t, dtype=np.uint32)
+                    if isinstance(t, (bytes, bytearray))
+                    else np.ascontiguousarray(t).view(np.uint32))
+            f.table = flat.reshape(snap["n_buckets"],
+                                   snap["bucket_size"]).copy()
+        else:                                    # sparse form
+            flat = np.zeros(snap["n_buckets"] * snap["bucket_size"],
+                            dtype=np.uint32)
+            idx = np.asarray(snap["idx"], dtype=np.uint64)
+            fps = np.asarray(snap["fps"], dtype=np.uint32)
+            flat[idx.astype(np.int64)] = fps
+            f.table = flat.reshape(snap["n_buckets"], snap["bucket_size"])
         f.count = snap["count"]
         filled = f.table != _EMPTY
         f.occ = filled.sum(axis=1).astype(np.int8)

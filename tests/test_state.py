@@ -78,6 +78,34 @@ def test_cuckoo_snapshot_roundtrip():
     assert not f2.check_and_add(h).any()
 
 
+def test_cuckoo_snapshot_sparse_and_dense_forms(tmp_path):
+    """Below ~1/3 load the snapshot is sparse (idx/fps pairs, no table);
+    above it, dense — and both survive the npz disk round-trip."""
+    from __spider_ray.checkpoint import _load_snapshots, write_snapshot
+
+    sparse = CuckooFilter(n_buckets=1 << 12)     # 16384 slots
+    hs = _hashes(300)
+    sparse.check_and_add(hs)
+    s = sparse.snapshot()
+    assert "idx" in s and "table" not in s
+    assert len(s["idx"]) == sparse.count         # occupancy-proportional
+
+    dense = CuckooFilter(n_buckets=1 << 8)       # 1024 slots
+    hd = _hashes(700, seed=9)
+    dense.check_and_add(hd)
+    d = dense.snapshot()
+    assert "table" in d and "idx" not in d
+
+    for i, (snap, f0, h) in enumerate([(s, sparse, hs), (d, dense, hd)]):
+        write_snapshot(str(tmp_path / f"seen_shard_{i}.npz"), snap)
+    back = _load_snapshots(str(tmp_path), 2)
+    for snap, f0, h in zip(back, [sparse, dense], [hs, hd]):
+        f2 = CuckooFilter.restore(snap)
+        assert f2.count == f0.count
+        assert np.array_equal(f2.table, f0.table)
+        assert not f2.check_and_add(h).any()
+
+
 def test_url_seen_actor_pool():
     seen = UrlSeenSet(n_shards=2, n_buckets=1 << 12)
     urls = [f"https://h{i % 7}.test/p{i}" for i in range(4000)]
