@@ -147,3 +147,115 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     return (lp.union(rp)
               .groupby(_BUCKET)
               .map_groups(join_bucket, batch_format="pyarrow"))
+
+
+def _time_vals(col: pa.ChunkedArray | pa.Array, idx: np.ndarray) -> np.ndarray:
+    """Orderable int64 view of a numeric/timestamp column at ``idx``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    a = np.asarray(col.to_numpy(zero_copy_only=False))
+    if a.dtype.kind in "mM":                    # datetime64 / timedelta64
+        a = a.view("int64")
+    return a[idx].astype(np.int64)
+
+
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              on: list[str], left_time: str, right_time: str,
+              tie: str | None = None, how: str = "inner",
+              n_buckets: int = 64) -> ray.data.Dataset:
+    """Distributed as-of join: each left row (key, t) matches the right
+    row with the GREATEST ``right_time`` ≤ t for the same equality key
+    — the temporal lookup a crawl/training pipeline needs to attach
+    "state as of this observation" (latest credential batch, last
+    snapshot, most recent price) without a per-row point query.
+
+    Same shuffle shape as ``hash_join`` — one all-to-all keyed by the
+    equality key; per bucket ONE merged lexsort over both sides plus a
+    ``maximum.accumulate`` forward-fill resolves every left row
+    vectorized (no per-key Python, no per-row search).
+
+    ``tie`` (a right-side numeric column) breaks equal-``right_time``
+    candidates deterministically: the max-``tie`` row wins.  Without it
+    ties resolve arbitrarily — pass it whenever right rows can share a
+    timestamp and the output feeds an exactness check.  ``how``:
+    'inner' drops unmatched left rows, 'left' keeps them with null
+    right columns.  Left/right time column names must differ (both ride
+    the unioned schema).  Null keys and null times match nothing.
+    """
+    assert how in ("inner", "left")
+    assert left_time != right_time, "rename one time column before joining"
+    lschema, rschema = left.schema(), right.schema()
+    lcols = [c for c in lschema.names if c not in on]
+    rcols = [c for c in rschema.names if c not in on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    types: dict[str, pa.DataType] = {}
+    for name, typ in zip(lschema.names, lschema.types):
+        types[name] = typ
+    for name, typ in zip(rschema.names, rschema.types):
+        types[name] = typ
+    all_cols = on + lcols + rcols
+
+    lp = _prep(left, on, 0, all_cols, types, n_buckets)
+    rp = _prep(right, on, 1, all_cols, types, n_buckets)
+
+    def asof_bucket(g: pa.Table) -> pa.Table:
+        side = g[_SIDE].to_numpy(zero_copy_only=False)
+        key_col = g[_KEY]
+        if isinstance(key_col, pa.ChunkedArray):
+            key_col = key_col.combine_chunks()
+        null_key = pc.is_null(key_col).to_numpy(zero_copy_only=False)
+        codes = key_col.dictionary_encode().indices.fill_null(-1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        null_lt = pc.is_null(g[left_time].combine_chunks()) \
+            .to_numpy(zero_copy_only=False)
+        null_rt = pc.is_null(g[right_time].combine_chunks()) \
+            .to_numpy(zero_copy_only=False)
+        l_idx = np.nonzero((side == 0) & ~null_key & ~null_lt)[0]
+        r_idx = np.nonzero((side == 1) & ~null_key & ~null_rt)[0]
+        nL, nR = len(l_idx), len(r_idx)
+        lt = _time_vals(g[left_time], l_idx)
+        rt = _time_vals(g[right_time], r_idx)
+        tv = _time_vals(g[tie], r_idx) if tie is not None \
+            else np.zeros(nR, dtype=np.int64)
+        # merged order: key, then time, then rights-before-lefts (≤
+        # semantics), then tie ascending so the max-tie right sits LAST
+        # in its (key, time) run — forward-fill takes the latest
+        # position, so it wins
+        keys = np.concatenate([codes[r_idx], codes[l_idx]])
+        times = np.concatenate([rt, lt])
+        il = np.concatenate([np.zeros(nR, bool), np.ones(nL, bool)])
+        src = np.concatenate([r_idx, l_idx])
+        sub = np.concatenate([tv, np.zeros(nL, dtype=np.int64)])
+        order = np.lexsort((sub, il, times, keys))
+        ks, ils, srcs = keys[order], il[order], src[order]
+        rpos = np.where(~ils, np.arange(nL + nR), -1)
+        filled = np.maximum.accumulate(rpos) if len(rpos) else rpos
+        lpos = np.nonzero(ils)[0]
+        f = filled[lpos]
+        fc = np.maximum(f, 0)
+        ok = (f >= 0) & (ks[fc] == ks[lpos])     # a right in the SAME key run
+        l_rows = srcs[lpos]
+        r_rows = np.where(ok, srcs[fc], -1)
+        if how == "inner":
+            # null-key/time lefts are already absent from l_rows
+            l_rows, r_rows = l_rows[ok], r_rows[ok]
+        else:
+            drop = np.nonzero((side == 0) & (null_key | null_lt))[0]
+            l_rows = np.concatenate([l_rows, drop])
+            r_rows = np.concatenate(
+                [r_rows, np.full(len(drop), -1, dtype=np.int64)])
+        out: dict[str, pa.Array] = {}
+        lt_tbl = g.select(on + lcols).take(pa.array(l_rows))
+        for c in on + lcols:
+            out[c] = lt_tbl[c]
+        rt_take = pa.array(np.where(r_rows >= 0, r_rows, 0), pa.int64(),
+                           mask=r_rows < 0)
+        for c in rcols:
+            out[c] = pc.take(g[c].combine_chunks(), rt_take)
+        return pa.table(out)
+
+    return (lp.union(rp)
+              .groupby(_BUCKET)
+              .map_groups(asof_bucket, batch_format="pyarrow"))

@@ -679,6 +679,54 @@ GROUP BY n_name
 """
 
 
+def q_events_asof_orders(sf_dir: str):
+    """As-of join (§2.4 extension): each event picks the user's most
+    recent order at or before the event time — the "state as of this
+    observation" lookup.  Distributed: ``functions/joins.asof_join``
+    hash-buckets both sides by user and resolves every left row with
+    one merged lexsort + forward-fill per bucket.  Ties (same customer,
+    same order date) break deterministically on max o_orderkey, and the
+    right side is pre-collapsed to one row per (user, date) so the Ray
+    and SQL sides agree exactly."""
+    from ..functions.joins import asof_join
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def as_user(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "price_cents": _cents(t["o_totalprice"])})
+    orders = orders.map_batches(as_user, batch_format="pyarrow")
+
+    joined = asof_join(events, orders, on=["user_id"],
+                       left_time="ts", right_time="o_orderdate",
+                       tie="o_orderkey", how="inner")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts": t["ts"],
+                         "last_orderkey": t["o_orderkey"],
+                         "last_orderdate": t["o_orderdate"],
+                         "last_price_cents": t["price_cents"]})
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         MAX(o_orderkey) AS last_orderkey,
+         CAST(round(max_by(o_totalprice, o_orderkey)*100) AS BIGINT)
+           AS last_price_cents
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.last_orderkey, o.o_orderdate AS last_orderdate, o.last_price_cents
+FROM events e ASOF JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
 # -------------------------------------------------------------- registration
 register("rel_pricing_summary", q_pricing_summary, SQL_PRICING)
 register("rel_top_orders", q_top_orders, SQL_TOP_ORDERS)
@@ -696,3 +744,4 @@ register("rel_events_scalar", q_events_scalar, SQL_EVENTS_SCALAR)
 register("rel_events_sample", q_events_sample, SQL_EVENTS_SAMPLE)
 register("rel_segment_union_except", q_segment_union_except, SQL_SEGMENT_UNION_EXCEPT)
 register("rel_nation_revenue", q_nation_revenue, SQL_NATION_REVENUE)
+register("rel_events_asof_orders", q_events_asof_orders, SQL_EVENTS_ASOF)

@@ -71,3 +71,60 @@ def test_hash_join_rejects_collisions():
     r = ray.data.from_pandas(pd.DataFrame({"k": ["a"], "v": [2]}))
     with pytest.raises(ValueError, match="collision"):
         hash_join(l, r, on=["k"])
+
+
+# ------------------------------------------------------------- asof join
+from __spider_ray.functions.joins import asof_join  # noqa: E402
+
+
+def _asof_oracle(l: pd.DataFrame, r: pd.DataFrame) -> list[tuple]:
+    """Per-left-row brute force: max rt ≤ t, tie → max tv."""
+    out = []
+    for _, row in l.iterrows():
+        cand = r[(r["k"] == row["k"]) & (r["rt"] <= row["t"])]
+        if len(cand):
+            best = cand.sort_values(["rt", "tv"]).iloc[-1]
+            out.append((row["k"], row["t"], row["v_l"],
+                        int(best["tv"]), int(best["v_r"])))
+    return sorted(out)
+
+
+def test_asof_join_vs_brute_force():
+    n_l, n_r = 400, 300
+    l = pd.DataFrame({"k": rng.randint(0, 20, n_l).astype(str),
+                      "t": rng.randint(0, 100, n_l),
+                      "v_l": rng.randint(0, 1000, n_l)})
+    r = pd.DataFrame({"k": rng.randint(0, 25, n_r).astype(str),
+                      "rt": rng.randint(0, 100, n_r),      # many rt ties
+                      "tv": np.arange(n_r),                # unique tie-break
+                      "v_r": rng.randint(0, 1000, n_r)})
+    got = asof_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                    on=["k"], left_time="t", right_time="rt",
+                    tie="tv", n_buckets=8).to_pandas()
+    got_rows = sorted((row["k"], int(row["t"]), int(row["v_l"]),
+                       int(row["tv"]), int(row["v_r"]))
+                      for _, row in got.iterrows())
+    assert got_rows == _asof_oracle(l, r)
+
+
+def test_asof_join_left_and_nulls():
+    l = pd.DataFrame({"k": ["a", "a", "b", None, "z"],
+                      "t": [5, 1, 9, 5, 5],
+                      "v_l": [1, 2, 3, 4, 5]})
+    r = pd.DataFrame({"k": ["a", "a", "b"],
+                      "rt": [3, 3, 10],            # (a,3) is a tie pair
+                      "tv": [7, 9, 1],
+                      "v_r": [70, 90, 10]})
+    inner = asof_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                      on=["k"], left_time="t", right_time="rt",
+                      tie="tv", n_buckets=4).to_pandas()
+    # only (a, t=5) matches — tie resolves to tv=9; t=1 precedes rt=3,
+    # b's order is after t=9, null key matches nothing, z has no rights
+    assert inner[["v_l", "tv", "v_r"]].values.tolist() == [[1, 9, 90]]
+    left = asof_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                     on=["k"], left_time="t", right_time="rt",
+                     tie="tv", how="left", n_buckets=4).to_pandas()
+    assert len(left) == 5
+    assert sorted(left[left["v_r"].isna()]["v_l"]) == [2, 3, 4, 5]
+    m = left[left["v_r"].notna()]
+    assert m[["v_l", "v_r"]].values.tolist() == [[1, 90.0]]
