@@ -149,6 +149,83 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
               .map_groups(join_bucket, batch_format="pyarrow"))
 
 
+class _BandIndex:
+    """Elementary-segment decomposition of (possibly overlapping)
+    integer bands [lo, hi]: unique endpoints split the line into
+    half-open segments, each mapped (CSR) to the bands covering it.
+    Lookup per value is ONE searchsorted + a vectorized CSR expansion —
+    exact under overlap, O(n + matches) per batch."""
+
+    def __init__(self, lo: np.ndarray, hi: np.ndarray):
+        lo = lo.astype(np.int64)
+        hi = hi.astype(np.int64)
+        assert (lo <= hi).all(), "empty band"
+        self.pts = np.unique(np.concatenate([lo, hi + 1]))
+        s0 = np.searchsorted(self.pts, lo, side="left")
+        s1 = np.searchsorted(self.pts, hi + 1, side="left")
+        counts = s1 - s0                       # segments per band
+        total = int(counts.sum())
+        band_rep = np.repeat(np.arange(len(lo)), counts)
+        off = np.repeat(np.cumsum(counts) - counts, counts)
+        pair_seg = np.arange(total) - off + np.repeat(s0, counts)
+        order = np.argsort(pair_seg, kind="stable")
+        self.pair_band = band_rep[order]       # CSR values
+        n_segs = len(self.pts)                 # incl. the open tail
+        self.seg_counts = np.bincount(pair_seg, minlength=n_segs) \
+            .astype(np.int64)
+        self.seg_starts = np.cumsum(self.seg_counts) - self.seg_counts
+
+    def lookup(self, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """→ (fact row indices expanded by match count, band ids)."""
+        seg = np.searchsorted(self.pts, v.astype(np.int64),
+                              side="right") - 1
+        valid = (seg >= 0) & (seg < len(self.pts) - 1)
+        seg = np.where(valid, seg, 0)
+        cnt = np.where(valid, self.seg_counts[seg], 0)
+        rows = np.repeat(np.arange(len(v)), cnt)
+        starts = np.repeat(self.seg_starts[seg], cnt)
+        within = np.arange(len(rows)) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        return rows, self.pair_band[starts + within]
+
+
+def range_join_broadcast(facts: ray.data.Dataset, bands: pa.Table,
+                         value_col: str, lo_col: str, hi_col: str,
+                         concurrency: int = 4) -> ray.data.Dataset:
+    """Interval join of a large fact Dataset against a SMALL band table
+    (inclusive integer bounds, overlaps allowed): facts stream through
+    ``map_batches`` actors that each build the segment index ONCE in
+    ``__init__`` from a ``ray.put`` broadcast — the small side never
+    reshuffles and never ships per batch.  Output = fact columns ×
+    matching band payload rows (inner; out-of-band facts drop).
+
+    Integer bounds only (scale float domains to cents first) — the
+    half-open decomposition needs an exact successor of ``hi``.
+    """
+    lo = np.asarray(bands[lo_col].to_numpy(zero_copy_only=False))
+    hi = np.asarray(bands[hi_col].to_numpy(zero_copy_only=False))
+    assert lo.dtype.kind in "iu" and hi.dtype.kind in "iu", \
+        "integer band bounds required"
+    payload = bands.drop_columns([lo_col, hi_col])
+    ref = ray.put((lo, hi, payload))
+
+    class Joiner:
+        def __init__(self):
+            lo_, hi_, self.payload = ray.get(ref)
+            self.index = _BandIndex(lo_, hi_)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = np.asarray(t[value_col].to_numpy(zero_copy_only=False))
+            rows, band_ids = self.index.lookup(v)
+            out = {c: t[c].take(pa.array(rows)) for c in t.column_names}
+            bt = self.payload.take(pa.array(band_ids))
+            for c in bt.column_names:
+                out[c] = bt[c]
+            return pa.table(out)
+
+    return facts.map_batches(Joiner, batch_format="pyarrow",
+                             concurrency=concurrency)
+
+
 def _time_vals(col: pa.ChunkedArray | pa.Array, idx: np.ndarray) -> np.ndarray:
     """Orderable int64 view of a numeric/timestamp column at ``idx``."""
     if isinstance(col, pa.ChunkedArray):

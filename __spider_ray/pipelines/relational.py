@@ -679,6 +679,189 @@ GROUP BY n_name
 """
 
 
+def q_events_sliding_hour(sf_dir: str):
+    """Sliding-window aggregate (§2.9): per event, the count and
+    value-sum of the SAME user's events in [ts − 1 h, ts] — the
+    RANGE-interval window (rate metrics, burst detection) that
+    ``rel_events_hourly``'s tumbling buckets can't express.
+
+    Distributed shape: hash-bucket shuffle keyed by user, then per
+    bucket ONE lexsort + two global ``searchsorted`` calls + a
+    prefix-cumsum resolve every row's window — no per-user Python.
+    The searchsorted trick: each user's timestamps are offset by
+    ``seg_id × BIG`` where BIG exceeds any user's time span plus the
+    window, so windows can never cross user boundaries in the single
+    sorted array.  RANGE (not ROWS) semantics: equal-``ts`` peers are
+    all included, so the result is deterministic under ties."""
+    from ..functions.hashing import hash64_ints
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    window_us = np.int64(3_600_000_000)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["user_id"].to_numpy().astype(np.uint64))
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def window_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ts = g["ts"].to_numpy().view("int64")
+        vc = np.asarray(_cents(g["value"].combine_chunks())).astype(np.int64)
+        if not len(uid):
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "n_hour": pa.array([], pa.int64()),
+                             "value_cents_hour": pa.array([], pa.int64())})
+        order = np.lexsort((ts, uid))
+        u, t_, v, e = uid[order], ts[order], vc[order], eid[order]
+        seg = np.cumsum(np.r_[0, u[1:] != u[:-1]]).astype(np.int64)
+        big = (t_.max() - t_.min()) + 2 * window_us + 1
+        assert seg[-1] < np.iinfo(np.int64).max // max(big, 1), \
+            "bucket too wide for the offset trick — raise n_buckets"
+        t2 = (t_ - t_.min()) + seg * big
+        lo = np.searchsorted(t2, t2 - window_us, side="left")
+        hi = np.searchsorted(t2, t2, side="right")
+        csum = np.concatenate([[0], np.cumsum(v)])
+        return pa.table({
+            "event_id": pa.array(e),
+            "user_id": pa.array(u),
+            "ts": pa.array(t_.view("datetime64[us]")),
+            "n_hour": pa.array((hi - lo).astype(np.int64)),
+            "value_cents_hour": pa.array(csum[hi] - csum[lo]),
+        })
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: window_bucket(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow"))
+
+
+SQL_EVENTS_SLIDING = """
+SELECT event_id, user_id, ts,
+  COUNT(*) OVER w AS n_hour,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+    AS value_cents_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_events_quantiles(sf_dir: str):
+    """Grouped EXACT discrete quantiles (A-extension): per event_type
+    the p50/p90/p99 of value — the reporting aggregate a sketch would
+    approximate, kept exact here so it oracles: integer cents + the
+    discrete (type-preserving) quantile are deterministic.
+
+    Shape: hash-bucket shuffle keyed by event_type (same pattern as
+    sessions/argmax — a bucket holds whole groups), then per bucket one
+    lexsort + vectorized per-segment index math picks all three
+    quantiles for every group at once.  At 100 TB the shuffle moves
+    only (type, cents) pairs; for truly-massive single groups the
+    two-pass count+searchsorted variant would replace the in-bucket
+    sort, but value columns collapse per-type here."""
+    from ..functions.hashing import hash64
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    qs = (0.5, 0.9, 0.99)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        key = t["event_type"].combine_chunks() \
+            if isinstance(t["event_type"], pa.ChunkedArray) else t["event_type"]
+        b = (hash64(key) % np.uint64(16)).astype(np.int64)
+        return pa.table({"event_type": key, "value_c": _cents(t["value"]),
+                         "bucket": pa.array(b)})
+
+    def quant_bucket(g: pa.Table) -> pa.Table:
+        et = np.asarray(g["event_type"].to_pandas(), dtype=object)
+        vc = np.asarray(g["value_c"].combine_chunks()).astype(np.int64)
+        if not len(et):
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             **{f"p{int(q*100)}_cents": pa.array([], pa.int64())
+                                for q in qs}})
+        codes, uniq = __import__("pandas").factorize(et, sort=True)
+        order = np.lexsort((vc, codes))
+        c_, v_ = codes[order], vc[order]
+        starts = np.nonzero(np.r_[True, c_[1:] != c_[:-1]])[0]
+        counts = np.diff(np.append(starts, len(c_)))
+        cols = {"event_type": pa.array(uniq.astype(str))}
+        for q in qs:
+            # quantile_disc: smallest element whose rank/n ≥ q
+            idx = starts + np.ceil(q * counts).astype(np.int64) - 1
+            cols[f"p{int(q*100)}_cents"] = pa.array(v_[idx])
+        return pa.table(cols)
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: quant_bucket(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow"))
+
+
+SQL_EVENTS_QUANTILES = """
+SELECT event_type,
+  quantile_disc(CAST(round(value*100) AS BIGINT), 0.50) AS p50_cents,
+  quantile_disc(CAST(round(value*100) AS BIGINT), 0.90) AS p90_cents,
+  quantile_disc(CAST(round(value*100) AS BIGINT), 0.99) AS p99_cents
+FROM events GROUP BY event_type
+"""
+
+
+QTY_BANDS = [  # (band, lo, hi) inclusive; 'promo' deliberately OVERLAPS
+    ("low", 1, 9), ("mid", 10, 24), ("high", 25, 39), ("top", 40, 50),
+    ("promo", 20, 30),
+]
+
+
+def q_lineitem_qty_bands(sf_dir: str):
+    """Range (interval) join: lineitems × quantity bands, overlapping
+    bands included — ``functions/joins.range_join_broadcast`` streams
+    facts through actors that build the elementary-segment band index
+    once from a ``ray.put`` broadcast (the small side never shuffles).
+    Aggregated per band so the oracle compares a compact result."""
+    from ..functions.joins import range_join_broadcast
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = np.asarray(t["l_quantity"].to_numpy(zero_copy_only=False))
+        return pa.table({"qty": pa.array(np.round(q).astype(np.int64)),
+                         "price_c": _cents(t["l_extendedprice"])})
+
+    bands = pa.table({"band": pa.array([b for b, _, _ in QTY_BANDS]),
+                      "lo": pa.array([lo for _, lo, _ in QTY_BANDS],
+                                     pa.int64()),
+                      "hi": pa.array([hi for _, _, hi in QTY_BANDS],
+                                     pa.int64())})
+    joined = range_join_broadcast(
+        ds.map_batches(prep, batch_format="pyarrow"), bands,
+        value_col="qty", lo_col="lo", hi_col="hi")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["band"]).aggregate(
+            [("qty", "count"), ("qty", "sum"), ("price_c", "sum")])
+        return g.rename_columns(["band", "n_items", "qty_sum", "price_cents"])
+
+    from ray.data.aggregate import Sum
+    return (joined.map_batches(partial, batch_format="pyarrow")
+                  .groupby("band")
+                  .aggregate(Sum("n_items", alias_name="n_items"),
+                             Sum("qty_sum", alias_name="qty_sum"),
+                             Sum("price_cents", alias_name="price_cents")))
+
+
+SQL_QTY_BANDS = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('low', 1, 9), ('mid', 10, 24), ('high', 25, 39), ('top', 40, 50),
+  ('promo', 20, 30))
+SELECT b.band, COUNT(*) AS n_items,
+  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+    AS price_cents
+FROM lineitem l JOIN bands b
+  ON CAST(round(l.l_quantity) AS BIGINT) BETWEEN b.lo AND b.hi
+GROUP BY b.band
+"""
+
+
 def q_events_asof_orders(sf_dir: str):
     """As-of join (§2.4 extension): each event picks the user's most
     recent order at or before the event time — the "state as of this
@@ -745,3 +928,6 @@ register("rel_events_sample", q_events_sample, SQL_EVENTS_SAMPLE)
 register("rel_segment_union_except", q_segment_union_except, SQL_SEGMENT_UNION_EXCEPT)
 register("rel_nation_revenue", q_nation_revenue, SQL_NATION_REVENUE)
 register("rel_events_asof_orders", q_events_asof_orders, SQL_EVENTS_ASOF)
+register("rel_events_sliding_hour", q_events_sliding_hour, SQL_EVENTS_SLIDING)
+register("rel_events_quantiles", q_events_quantiles, SQL_EVENTS_QUANTILES)
+register("rel_lineitem_qty_bands", q_lineitem_qty_bands, SQL_QTY_BANDS)

@@ -128,3 +128,33 @@ def test_asof_join_left_and_nulls():
     assert sorted(left[left["v_r"].isna()]["v_l"]) == [2, 3, 4, 5]
     m = left[left["v_r"].notna()]
     assert m[["v_l", "v_r"]].values.tolist() == [[1, 90.0]]
+
+
+# ------------------------------------------------------------ range join
+import pyarrow as pa  # noqa: E402
+
+from __spider_ray.functions.joins import _BandIndex, range_join_broadcast  # noqa: E402
+
+
+def test_band_index_overlap_and_gaps():
+    # bands: [1,5], [4,8] (overlap 4-5), [20,20]; gaps elsewhere
+    idx = _BandIndex(np.array([1, 4, 20]), np.array([5, 8, 20]))
+    v = np.array([0, 1, 4, 5, 6, 8, 9, 19, 20, 21])
+    rows, bands = idx.lookup(v)
+    got = sorted(zip(v[rows].tolist(), bands.tolist()))
+    assert got == [(1, 0), (4, 0), (4, 1), (5, 0), (5, 1),
+                   (6, 1), (8, 1), (20, 2)]
+
+
+def test_range_join_broadcast():
+    facts = pd.DataFrame({"qty": [0, 3, 22, 45, 27, 100],
+                          "fid": [0, 1, 2, 3, 4, 5]})
+    bands = pa.table({"band": pa.array(["low", "mid", "promo"]),
+                      "lo": pa.array([1, 10, 20], pa.int64()),
+                      "hi": pa.array([9, 24, 30], pa.int64())})
+    out = range_join_broadcast(ray.data.from_pandas(facts), bands,
+                               value_col="qty", lo_col="lo", hi_col="hi",
+                               concurrency=2).to_pandas()
+    got = sorted(zip(out["fid"], out["band"]))
+    assert got == [(1, "low"), (2, "mid"), (2, "promo"),
+                   (4, "promo")]  # 0,45,100 out of all bands
