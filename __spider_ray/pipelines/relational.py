@@ -436,6 +436,60 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """
 
 
+def q_orders_topk_per_cust(sf_dir: str, k: int = 3):
+    """Grouped top-k (the k>1 generalization of A4's argmin): each
+    customer's 3 priciest orders with their rank — hash-bucket shuffle
+    keyed by customer, ONE lexsort per bucket, vectorized per-segment
+    rank, keep rank ≤ k.  Ties break on o_orderkey ascending so the
+    ranks are deterministic."""
+    from ..functions.hashing import hash64_ints
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["o_custkey"].to_numpy().astype(np.uint64))
+             % np.uint64(64)).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"],
+                         "price_cents": _cents(t["o_totalprice"]),
+                         "bucket": pa.array(b)})
+
+    def topk_bucket(g: pa.Table) -> pa.Table:
+        ck = g["o_custkey"].to_numpy()
+        ok = g["o_orderkey"].to_numpy()
+        pc_ = np.asarray(g["price_cents"].combine_chunks()).astype(np.int64)
+        if not len(ck):
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "o_orderkey": pa.array([], pa.int64()),
+                             "price_cents": pa.array([], pa.int64()),
+                             "rnk": pa.array([], pa.int64())})
+        order = np.lexsort((ok, -pc_, ck))    # per cust: price desc, key asc
+        c_, o_, p_ = ck[order], ok[order], pc_[order]
+        starts = np.nonzero(np.r_[True, c_[1:] != c_[:-1]])[0]
+        rank = np.arange(len(c_)) - np.repeat(
+            starts, np.diff(np.append(starts, len(c_)))) + 1
+        keep = rank <= k
+        return pa.table({"o_custkey": pa.array(c_[keep]),
+                         "o_orderkey": pa.array(o_[keep]),
+                         "price_cents": pa.array(p_[keep]),
+                         "rnk": pa.array(rank[keep].astype(np.int64))})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: topk_bucket(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow"))
+
+
+SQL_ORDERS_TOPK = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC,
+                       o_orderkey) AS BIGINT) AS rnk
+FROM orders
+QUALIFY rnk <= 3
+"""
+
+
 def q_orders_cumulative(sf_dir: str):
     """Per-customer running total — hash-bucket shuffle keyed by
     customer, then one vectorized lexsort + segmented cumsum per bucket
@@ -931,3 +985,4 @@ register("rel_events_asof_orders", q_events_asof_orders, SQL_EVENTS_ASOF)
 register("rel_events_sliding_hour", q_events_sliding_hour, SQL_EVENTS_SLIDING)
 register("rel_events_quantiles", q_events_quantiles, SQL_EVENTS_QUANTILES)
 register("rel_lineitem_qty_bands", q_lineitem_qty_bands, SQL_QTY_BANDS)
+register("rel_orders_topk_per_cust", q_orders_topk_per_cust, SQL_ORDERS_TOPK)
