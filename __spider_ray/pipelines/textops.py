@@ -249,6 +249,35 @@ def q_dedup_simhash(sf_dir: str):
     return dd.simhash_near_dups(corpus(sf_dir), max_hamming=3)
 
 
+def q_dedup_ngram(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (≥ 0.7) via a distributed
+    inverted shingle index — the estimate-free counterpart of
+    ``dedup_minhash``: two fixed-width-int shuffles (shingle-keyed pair
+    generation with a df ≤ 64 stop-shingle cap, then pair-keyed
+    intersection counting), fully SQL-expressible → DuckDB-oracled."""
+    return dd.ngram_jaccard_pairs(corpus(sf_dir),
+                                  tau_num=7, tau_den=10, max_df=64)
+
+
+SQL_DEDUP_NGRAM = f"""WITH {CORPUS_CTE.strip()},
+toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+       FROM toks CROSS JOIN UNNEST(range(1,
+            CASE WHEN len(ts) >= 3 THEN len(ts) - 1 ELSE 2 END)) AS u(i)),
+nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+df AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       JOIN df ON df.s = a.s
+       GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(na.n + nb.n - n_common AS BIGINT) AS n_union
+FROM pr JOIN nsh na ON na.doc_id = pr.doc_a
+        JOIN nsh nb ON nb.doc_id = pr.doc_b
+WHERE 10 * n_common >= 7 * (na.n + nb.n - n_common)
+"""
+
+
 # ----------------------------------------------------------------- similarity
 def q_knn_brute(sf_dir: str):
     return knn_mod.brute_force_topk(sf_dir, n_queries=10, k=5)
@@ -299,6 +328,7 @@ register("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT)
 register("dedup_minhash", q_dedup_minhash, None)
 register("dedup_clusters", q_dedup_clusters, None)
 register("dedup_simhash", q_dedup_simhash, None)
+register("dedup_ngram", q_dedup_ngram, SQL_DEDUP_NGRAM)
 register("knn_brute_topk", q_knn_brute, SQL_KNN_BRUTE)
 register("knn_lsh_topk", q_knn_lsh, None)
 register("knn_ivf_topk", q_knn_ivf, None)

@@ -241,6 +241,133 @@ def exact_jaccard_pair(text_a: str, text_b: str) -> tuple[int, int]:
     return len(A & B), len(A | B)
 
 
+# ------------------------------------- exact n-gram Jaccard (inverted index)
+def ngram_shingle_rows(t: pa.Table) -> pa.Table:
+    """corpus batch → per-doc DISTINCT shingle-hash rows
+    ``(sh, doc_id, n_sh)``.
+
+    ``n_sh`` (the doc's distinct-shingle count) is replicated onto every
+    shingle row — 8 B/row — so the pair stage never needs a join back to
+    a per-doc table: set sizes ride along with the inverted index."""
+    texts = t["text"].to_pylist()
+    ids = t["doc_id"].to_numpy()
+    if not len(ids):
+        return pa.table({"sh": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "n_sh": pa.array([], pa.int64())})
+    h, counts = _shingle_hashes(texts)
+    docpos = np.repeat(np.arange(len(ids)), counts)
+    order = np.lexsort((h, docpos))
+    dp, hs = docpos[order], h[order]
+    first = np.empty(len(dp), dtype=bool)
+    first[0] = True
+    first[1:] = (dp[1:] != dp[:-1]) | (hs[1:] != hs[:-1])
+    dpu, hu = dp[first], hs[first]
+    n_dist = np.bincount(dpu, minlength=len(ids))
+    return pa.table({"sh": pa.array(hu.view(np.int64)),
+                     "doc_id": pa.array(ids[dpu].astype(np.int64)),
+                     "n_sh": pa.array(n_dist[dpu].astype(np.int64))})
+
+
+def _ngram_pairs_bucket(g: pa.Table, max_df: int) -> pa.Table:
+    """One hash bucket of the inverted index → candidate pair rows.
+    One lexsort finds shingle-group boundaries; singleton shingles (the
+    vast majority) are skipped wholesale; shingles shared by more than
+    ``max_df`` docs are dropped entirely (boilerplate stop-shingles —
+    the standard df cap that bounds pair fan-out to C(max_df,2) per
+    shingle at any corpus size)."""
+    sh = g["sh"].to_numpy()
+    doc = g["doc_id"].to_numpy()
+    nsh = g["n_sh"].to_numpy()
+    order = np.lexsort((doc, sh))
+    s_, d_, n_ = sh[order], doc[order], nsh[order]
+    start = np.empty(len(s_), dtype=bool)
+    if len(start):
+        start[0] = True
+        start[1:] = s_[1:] != s_[:-1]
+    bounds = np.append(np.nonzero(start)[0], len(s_))
+    sizes = np.diff(bounds)
+    oa, ob, ona, onb = [], [], [], []
+    for gi in np.nonzero((sizes > 1) & (sizes <= max_df))[0]:
+        lo, hi = bounds[gi], bounds[gi + 1]
+        dd_, nn_ = d_[lo:hi], n_[lo:hi]          # docs distinct (upstream)
+        ai, bi = np.triu_indices(len(dd_), k=1)
+        oa.append(dd_[ai]); ob.append(dd_[bi])
+        ona.append(nn_[ai]); onb.append(nn_[bi])
+    if not oa:
+        e = pa.array([], pa.int64())
+        return pa.table({"a": e, "b": e, "na": e, "nb": e})
+    return pa.table({"a": pa.array(np.concatenate(oa)),
+                     "b": pa.array(np.concatenate(ob)),
+                     "na": pa.array(np.concatenate(ona)),
+                     "nb": pa.array(np.concatenate(onb))})
+
+
+def ngram_jaccard_pairs(docs: ray.data.Dataset,
+                        tau_num: int = 7, tau_den: int = 10,
+                        max_df: int = 64,
+                        n_buckets: int = 64) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard near-dup pairs — no MinHash estimate, no
+    all-pairs scan.  Distributed inverted-index algorithm:
+
+    1. per-doc distinct shingle hashes, set size riding along
+       (``ngram_shingle_rows`` — local, no shuffle);
+    2. shuffle keyed by shingle hash; each shared shingle with
+       df ≤ ``max_df`` emits its doc pairs (shuffle #1);
+    3. shuffle keyed by (a,b); rows-per-pair = |A∩B| exactly, since
+       each co-occurring shingle contributed one row; na/nb are
+       constants per pair (shuffle #2); keep pairs with
+       ``inter/union ≥ tau`` via integer cross-multiplication.
+
+    The df cap prunes candidate *generation* only: a pair whose overlap
+    lives entirely in >max_df boilerplate shingles is not reported.
+    Both shuffles move fixed-width int rows, never text.  Output:
+    ``(doc_a, doc_b, n_common, n_union)`` — all int64, oracle-exact."""
+    rows = docs.map_batches(ngram_shingle_rows, batch_format="pyarrow")
+
+    def bucketize_sh(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["sh"].to_numpy().view(np.uint64), seed=5)
+             % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    pairs = (rows.map_batches(bucketize_sh, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(lambda g: _ngram_pairs_bucket(
+                     g.drop_columns(["bucket"]), max_df),
+                     batch_format="pyarrow"))
+
+    def bucketize_pair(t: pa.Table) -> pa.Table:
+        key = hash64_ints(t["a"].to_numpy().astype(np.uint64)
+                          * np.uint64(1_000_003)
+                          ^ t["b"].to_numpy().astype(np.uint64), seed=9)
+        return t.append_column("bucket", pa.array(
+            (key % np.uint64(n_buckets)).astype(np.int64)))
+
+    def reduce_pairs(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(); b = g["b"].to_numpy()
+        na = g["na"].to_numpy(); nb = g["nb"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, na, nb = a[order], b[order], na[order], nb[order]
+        first = np.empty(len(a), dtype=bool)
+        if len(first):
+            first[0] = True
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.nonzero(first)[0]
+        inter = np.diff(np.append(starts, len(a)))
+        a, b, na, nb = a[starts], b[starts], na[starts], nb[starts]
+        union = na + nb - inter
+        keep = tau_den * inter >= tau_num * union
+        return pa.table({"doc_a": pa.array(a[keep]),
+                         "doc_b": pa.array(b[keep]),
+                         "n_common": pa.array(inter[keep].astype(np.int64)),
+                         "n_union": pa.array(union[keep].astype(np.int64))})
+
+    return (pairs.map_batches(bucketize_pair, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(lambda g: reduce_pairs(g.drop_columns(["bucket"])),
+                             batch_format="pyarrow"))
+
+
 # ------------------------------------------------- connected components
 def connected_components(pairs: ray.data.Dataset,
                          max_rounds: int = 64) -> ray.data.Dataset:

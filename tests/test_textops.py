@@ -301,3 +301,42 @@ def test_connected_components_long_chain_converges():
     comp = connected_components(pairs).to_pandas()
     assert len(comp) == 30
     assert (comp["component"] == 0).all()
+
+
+def test_ngram_jaccard_exact_against_set_oracle():
+    """Every reported (pair, inter, union) must equal the exact
+    set-arithmetic values from the shared tokenizer (no df-capped
+    shingle in this corpus reaches the cap for planted pairs), and
+    every planted exact-dup pair must appear with inter == union."""
+    corpus = _corpus_texts()
+    out = textops.q_dedup_ngram(SF_SMALL).to_pandas()
+    got = {(int(a), int(b)): (int(i), int(u))
+           for a, b, i, u in zip(out["doc_a"], out["doc_b"],
+                                 out["n_common"], out["n_union"])}
+    for i in corpus:
+        if i < 100000 and i % 5 == 0:
+            assert (i, i + 100000) in got, f"exact dup pair {i} missed"
+            inter, union = got[(i, i + 100000)]
+            assert inter == union, (i, inter, union)
+    for (a, b), (inter, union) in list(got.items())[:300]:
+        ti, tu = dd.exact_jaccard_pair(corpus[a], corpus[b])
+        # df cap can only REMOVE common shingles from the reported
+        # intersection; union is computed from full set sizes.
+        assert tu == union and inter <= ti, (a, b, inter, ti, union, tu)
+        assert 10 * inter >= 7 * union
+
+
+def test_ngram_jaccard_df_cap_bounds_fanout():
+    """A shingle shared by more docs than max_df must emit no pairs."""
+    import ray
+
+    texts = [f"common one two tail{i}" for i in range(10)]
+    ds = ray.data.from_arrow(
+        __import__("pyarrow").table({"doc_id": list(range(10)),
+                                     "text": texts}))
+    # 'common one two' and 'one two tailX'-style shingles: only the
+    # first shingle is shared by all 10 docs.
+    wide = dd.ngram_jaccard_pairs(ds, tau_num=0, tau_den=1, max_df=9)
+    assert wide.count() == 0  # the only shared shingle has df=10 > 9
+    ok = dd.ngram_jaccard_pairs(ds, tau_num=0, tau_den=1, max_df=10)
+    assert ok.count() == 45   # C(10,2), each pair sharing exactly 1
