@@ -249,6 +249,119 @@ def q_dedup_simhash(sf_dir: str):
     return dd.simhash_near_dups(corpus(sf_dir), max_hamming=3)
 
 
+def q_text_tfidf(sf_dir: str, k: int = 5):
+    """Top-``k`` most characteristic terms per document, ranked by
+    tf × linear-idf — i.e. by the RATIONAL ``tf/df`` — so the ranking
+    is integer-exact (IEEE division is correctly rounded: equal
+    rationals compare equal, unequal rationals with df < 1e6 differ by
+    far more than one ulp), and the output is all int/string columns
+    (``doc_id, term, tf, df, rnk``) → hash-stable against DuckDB.
+
+    Two shuffles, no joins: tf rows are globally unique per (doc,term)
+    because each doc's text is one row, so a term-keyed groupby yields
+    df = segment length with the tf rows already in hand; a doc-keyed
+    groupby then ranks.  The corpus-wide doc count N is not needed —
+    linear idf N/df ranks identically to 1/df."""
+    from ..functions.hashing import hash64, hash64_ints
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=_doc_blocks(sf_dir))
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        toks: list[str] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):        # per-doc tokenize (inherent)
+            w = [w_ for w_ in s.lower().split(" ") if w_]
+            toks.extend(w)
+            counts[i] = len(w)
+        if not toks:
+            return pa.table({"th": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        arr = pa.array(toks, type=pa.string())
+        h = hash64(arr)
+        docpos = np.repeat(np.arange(len(ids)), counts)
+        order = np.lexsort((h, docpos))
+        dp, hs = docpos[order], h[order]
+        first = np.empty(len(dp), dtype=bool)
+        first[0] = True
+        first[1:] = (dp[1:] != dp[:-1]) | (hs[1:] != hs[:-1])
+        starts = np.nonzero(first)[0]
+        tf = np.diff(np.append(starts, len(dp)))
+        keep = order[starts]                 # one representative token row
+        return pa.table({"th": pa.array(hs[starts].view(np.int64)),
+                         "term": arr.take(pa.array(keep)),
+                         "doc_id": pa.array(ids[dp[starts]].astype(np.int64)),
+                         "tf": pa.array(tf.astype(np.int64))})
+
+    def bucket_th(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["th"].to_numpy().view(np.uint64), seed=3)
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        th = g["th"].to_numpy()
+        order = np.argsort(th, kind="stable")
+        ths = th[order]
+        first = np.empty(len(ths), dtype=bool)
+        if len(first):
+            first[0] = True
+            first[1:] = ths[1:] != ths[:-1]
+        seg = np.cumsum(first) - 1
+        df = np.bincount(seg)[seg]           # segment length per row
+        return pa.table({"term": g["term"].take(pa.array(order)),
+                         "doc_id": pa.array(g["doc_id"].to_numpy()[order]),
+                         "tf": pa.array(g["tf"].to_numpy()[order]),
+                         "df": pa.array(df.astype(np.int64))})
+
+    def bucket_doc(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["doc_id"].to_numpy().astype(np.uint64), seed=4)
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def rank_doc(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        d = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                          "term": g["term"].to_pylist(),
+                          "tf": g["tf"].to_numpy(),
+                          "df": g["df"].to_numpy()})
+        d["ratio"] = d["tf"] / d["df"]
+        d = d.sort_values(["doc_id", "ratio", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        d["rnk"] = d.groupby("doc_id").cumcount() + 1
+        d = d[d["rnk"] <= k].drop(columns=["ratio"])
+        return pa.Table.from_pandas(d, preserve_index=False).set_column(
+            4, "rnk", pa.array(d["rnk"].to_numpy().astype(np.int64)))
+
+    return (ds.map_batches(tf_rows, batch_format="pyarrow")
+              .map_batches(bucket_th, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: attach_df(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow")
+              .map_batches(bucket_doc, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: rank_doc(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow"))
+
+
+SQL_TEXT_TFIDF = """
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term <> '' GROUP BY 1, 2),
+wdf AS (SELECT doc_id, term, tf,
+               count(*) OVER (PARTITION BY term) AS df FROM tf)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tf * 1.0 / df DESC, term) AS BIGINT) AS rnk
+FROM wdf QUALIFY rnk <= 5
+"""
+
+
 def q_dedup_ngram(sf_dir: str):
     """EXACT n-gram Jaccard near-dup pairs (≥ 0.7) via a distributed
     inverted shingle index — the estimate-free counterpart of
@@ -329,6 +442,7 @@ register("dedup_minhash", q_dedup_minhash, None)
 register("dedup_clusters", q_dedup_clusters, None)
 register("dedup_simhash", q_dedup_simhash, None)
 register("dedup_ngram", q_dedup_ngram, SQL_DEDUP_NGRAM)
+register("text_tfidf", q_text_tfidf, SQL_TEXT_TFIDF)
 register("knn_brute_topk", q_knn_brute, SQL_KNN_BRUTE)
 register("knn_lsh_topk", q_knn_lsh, None)
 register("knn_ivf_topk", q_knn_ivf, None)
