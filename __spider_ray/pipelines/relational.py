@@ -490,6 +490,159 @@ QUALIFY rnk <= 3
 """
 
 
+def q_events_lead_lag(sf_dir: str):
+    """LAG window: each event's gap (µs, exact — the event log carries
+    sub-second timestamps, so whole-second diffs would be engine-
+    dependent truncation) and value delta (cents) vs the user's
+    previous event.  Hash-bucket by user, one lexsort per bucket, a
+    same-user predecessor mask — no per-group Python.  First events
+    (no predecessor) are excluded, matching ``WHERE pts IS NOT NULL``."""
+    from ..functions.hashing import hash64_ints
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["user_id"].to_numpy().astype(np.uint64))
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def lag_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        v = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, t_, e_, v_ = uid[order], ts[order], eid[order], v[order]
+        has_prev = np.zeros(len(u), dtype=bool)
+        if len(u):
+            has_prev[1:] = u[1:] == u[:-1]
+        gap = np.zeros(len(u), dtype=np.int64)
+        dv = np.zeros(len(u), dtype=np.int64)
+        gap[1:] = t_[1:] - t_[:-1]
+        dv[1:] = v_[1:] - v_[:-1]
+        return pa.table({"event_id": pa.array(e_[has_prev]),
+                         "user_id": pa.array(u[has_prev]),
+                         "gap_us": pa.array(gap[has_prev]),
+                         "dv_cents": pa.array(dv[has_prev])})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: lag_bucket(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow"))
+
+
+SQL_EVENTS_LEAD_LAG = """
+WITH w AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts,
+         CAST(round(value*100) AS BIGINT) AS v,
+         lag(CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+  FROM events)
+SELECT event_id, user_id,
+       CAST(date_diff('microsecond', pts, ts) AS BIGINT) AS gap_us,
+       v - pv AS dv_cents
+FROM w WHERE pts IS NOT NULL
+"""
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(returnflag, linestatus) — hierarchical
+    subtotals.  The full-fact work happens ONCE as a distributed
+    in-batch pre-aggregation; the three rollup levels are derived by
+    exploding the already-tiny (flag, status) aggregate ×3 with keys
+    masked to the 'ALL' sentinel and re-reducing — both shuffles move
+    only aggregate rows, never facts."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        d = pd.DataFrame({"rf": t["l_returnflag"].to_pylist(),
+                          "ls": t["l_linestatus"].to_pylist(),
+                          "q": np.round(t["l_quantity"].to_numpy() * 100)
+                                 .astype(np.int64)})
+        g = (d.groupby(["rf", "ls"], sort=False)
+               .agg(sum_qty_cents=("q", "sum"), n_items=("q", "size"))
+               .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def explode_levels(t: pa.Table) -> pa.Table:
+        rf = np.asarray(t["rf"].to_pylist(), dtype=object)
+        ls = np.asarray(t["ls"].to_pylist(), dtype=object)
+        al = np.full(len(rf), "ALL", dtype=object)
+        return pa.table({
+            "rf": pa.array(np.concatenate([rf, rf, al])),
+            "ls": pa.array(np.concatenate([ls, al, al])),
+            "sum_qty_cents": pa.concat_arrays(
+                [t["sum_qty_cents"].combine_chunks()] * 3),
+            "n_items": pa.concat_arrays([t["n_items"].combine_chunks()] * 3)})
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "rf": g["rf"][:1], "ls": g["ls"][:1],
+            "sum_qty_cents": pa.array(
+                [int(g["sum_qty_cents"].to_numpy().sum())], pa.int64()),
+            "n_items": pa.array([int(g["n_items"].to_numpy().sum())], pa.int64())})
+
+    base = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["rf", "ls"]).map_groups(reduce_group,
+                                                batch_format="pyarrow"))
+    return (base.map_batches(explode_levels, batch_format="pyarrow")
+                .groupby(["rf", "ls"]).map_groups(reduce_group,
+                                                  batch_format="pyarrow"))
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_orders_pivot(sf_dir: str):
+    """Status pivot: one row per order priority, one count column per
+    order status (fixed domain O/F/P) plus the row total — in-batch
+    conditional counting (the classic SUM(CASE ...) pivot) so the
+    groupby only ever moves ≤5 pre-aggregated rows per batch."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        pr = np.asarray(t["o_orderpriority"].to_pylist(), dtype=object)
+        st = np.asarray(t["o_orderstatus"].to_pylist(), dtype=object)
+        d = pd.DataFrame({"o_orderpriority": pr,
+                          "n_open": (st == "O").astype(np.int64),
+                          "n_finished": (st == "F").astype(np.int64),
+                          "n_pending": (st == "P").astype(np.int64),
+                          "n_total": np.ones(len(pr), dtype=np.int64)})
+        return pa.Table.from_pandas(
+            d.groupby("o_orderpriority", sort=False).sum().reset_index(),
+            preserve_index=False)
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        cols = {"o_orderpriority": g["o_orderpriority"][:1]}
+        for c in ("n_open", "n_finished", "n_pending", "n_total"):
+            cols[c] = pa.array([int(g[c].to_numpy().sum())], pa.int64())
+        return pa.table(cols)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("o_orderpriority")
+              .map_groups(reduce_group, batch_format="pyarrow"))
+
+
+SQL_ORDERS_PIVOT = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_pending,
+       COUNT(*) AS n_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_orders_cumulative(sf_dir: str):
     """Per-customer running total — hash-bucket shuffle keyed by
     customer, then one vectorized lexsort + segmented cumsum per bucket
@@ -986,3 +1139,6 @@ register("rel_events_sliding_hour", q_events_sliding_hour, SQL_EVENTS_SLIDING)
 register("rel_events_quantiles", q_events_quantiles, SQL_EVENTS_QUANTILES)
 register("rel_lineitem_qty_bands", q_lineitem_qty_bands, SQL_QTY_BANDS)
 register("rel_orders_topk_per_cust", q_orders_topk_per_cust, SQL_ORDERS_TOPK)
+register("rel_events_lead_lag", q_events_lead_lag, SQL_EVENTS_LEAD_LAG)
+register("rel_lineitem_rollup", q_lineitem_rollup, SQL_LINEITEM_ROLLUP)
+register("rel_orders_pivot", q_orders_pivot, SQL_ORDERS_PIVOT)
