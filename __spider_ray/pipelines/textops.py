@@ -427,6 +427,13 @@ def q_knn_ivf(sf_dir: str):
     return knn_mod.ivf_topk(sf_dir, n_queries=10, k=5)
 
 
+def q_knn_pq(sf_dir: str):
+    """PQ-ADC top-k with exact rerank (32× code compression — the
+    memory-bound ANN scale path).  Rows-only; recall and reconstruction
+    asserted in tests."""
+    return knn_mod.pq_topk(sf_dir, n_queries=10, k=5)
+
+
 def q_emb_near_dups(sf_dir: str):
     return knn_mod.embedding_near_dups(sf_dir, threshold=0.2)
 
@@ -446,4 +453,5 @@ register("text_tfidf", q_text_tfidf, SQL_TEXT_TFIDF)
 register("knn_brute_topk", q_knn_brute, SQL_KNN_BRUTE)
 register("knn_lsh_topk", q_knn_lsh, None)
 register("knn_ivf_topk", q_knn_ivf, None)
+register("knn_pq_topk", q_knn_pq, None)
 register("emb_near_dups", q_emb_near_dups, None)

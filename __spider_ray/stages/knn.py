@@ -424,3 +424,143 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.99,
               .map_groups(bucket_pairs, batch_format="pyarrow")
               .groupby(["a", "b"])
               .map_groups(first_pair, batch_format="pyarrow"))
+
+
+# -------------------------------------------------- product quantization ANN
+def _bounded_sample(path: str, cap: int = 100_000) -> tuple[np.ndarray, np.ndarray]:
+    """First row groups up to ``cap`` rows — the bounded driver read
+    used by IVF training (never the whole corpus-scale column)."""
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(path)
+    parts, got = [], 0
+    for rg in range(pf.num_row_groups):
+        parts.append(pf.read_row_group(rg, columns=["vec_id", "embedding"]))
+        got += parts[-1].num_rows
+        if got >= cap:
+            break
+    ids, m = _embs(pa.concat_tables(parts))
+    return ids[:cap], m[:cap]
+
+
+def train_pq_codebooks(m: np.ndarray, n_sub: int = 8, n_codes: int = 256,
+                       iters: int = 15, seed: int = 13) -> np.ndarray:
+    """Per-subspace Lloyd k-means on NORMALIZED vectors → codebooks of
+    shape (n_sub, n_codes, dim/n_sub).  Jégou et al., "Product
+    quantization for nearest neighbor search" (TPAMI 2011) — public.
+    Driver-side on a bounded sample; output is a few hundred KB and
+    broadcasts via ``ray.put``."""
+    rng = np.random.RandomState(seed)
+    mn = _normalize(m)
+    n, dim = mn.shape
+    dsub = dim // n_sub
+    n_codes = max(1, min(n_codes, n))
+    books = np.empty((n_sub, n_codes, dsub))
+    for s in range(n_sub):
+        x = mn[:, s * dsub:(s + 1) * dsub]
+        cent = x[rng.choice(n, n_codes, replace=False)].copy()
+        for _ in range(iters):
+            # assignment via ||x||² - 2x·c + ||c||² (drop const ||x||²)
+            d2 = -2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)
+            a = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                mask = a == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode_batch(books: np.ndarray):
+    """Vectorized encoder: batch → (vec_id, code binary[n_sub]).
+    dim·32 bits → n_sub·8 bits per vector (32× at dim 64 / 8 subs)."""
+    n_sub, n_codes, dsub = books.shape
+    norms = (books * books).sum(axis=2)                    # (n_sub, n_codes)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ids, m = _embs(t)
+        mn = _normalize(m)
+        codes = np.empty((len(ids), n_sub), dtype=np.uint8)
+        for s in range(n_sub):
+            x = mn[:, s * dsub:(s + 1) * dsub]
+            d2 = -2.0 * (x @ books[s].T) + norms[s]
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                         "code": pa.array(list(codes.tobytes()[i * n_sub:(i + 1) * n_sub]
+                                               for i in range(len(ids))),
+                                          type=pa.binary())})
+    return encode
+
+
+def pq_encode(sf_dir: str, n_sub: int = 8, n_codes: int = 256,
+              path: str | None = None) -> ray.data.Dataset:
+    """Compressed code table (vec_id, code) — the artifact a 100 TB
+    deployment persists and searches instead of raw vectors."""
+    path = path or f"{sf_dir}/embeddings.parquet"
+    _, m_s = _bounded_sample(path)
+    books = train_pq_codebooks(m_s, n_sub, n_codes)
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return ds.map_batches(pq_encode_batch(books), batch_format="pyarrow",
+                          batch_size=4096, concurrency=2, num_cpus=0.5)
+
+
+def pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
+            n_sub: int = 8, n_codes: int = 256, rerank: int = 8,
+            path: str | None = None) -> ray.data.Dataset:
+    """PQ-ADC approximate top-k with exact reranking.
+
+    One streaming pass per batch: encode to n_sub uint8 codes, score
+    every query against the CODES via asymmetric distance computation —
+    one (n_sub × n_codes) inner-product table per query, scores are
+    ``adc[i, q] = Σ_s table[q, s, code[i, s]]`` (pure table gather, no
+    float math per candidate) — then exactly rerank only the top
+    ``rerank·k`` ADC candidates with a true dot product.  At 100 TB the
+    gather runs over the 32×-compressed code table; reranking touches
+    ``rerank·k`` raw vectors per query per batch, not the corpus.
+    Same (query_id, vec_id, rank) contract and merge as the other ANN
+    flavors."""
+    path = path or f"{sf_dir}/embeddings.parquet"
+    _, m_s = _bounded_sample(path)
+    books = train_pq_codebooks(m_s, n_sub, n_codes)
+    q_ids, Q = load_queries(sf_dir, n_queries)
+    n_sub_, n_codes_, dsub = books.shape
+    # per-query ADC tables: (nq, n_sub, n_codes) inner products
+    tables = np.einsum("qsd,scd->qsc", Q.reshape(len(Q), n_sub_, dsub), books)
+    ref = ray.put((q_ids, Q, books, tables))
+
+    class PqScorer:
+        def __init__(self):
+            self.q_ids, self.Q, self.books, self.tables = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, m = _embs(t)
+            mn = _normalize(m)
+            nsub, ncod, dsub_ = self.books.shape
+            codes = np.empty((len(ids), nsub), dtype=np.int64)
+            for s in range(nsub):
+                x = mn[:, s * dsub_:(s + 1) * dsub_]
+                d2 = (-2.0 * (x @ self.books[s].T)
+                      + (self.books[s] * self.books[s]).sum(axis=1))
+                codes[:, s] = np.argmin(d2, axis=1)
+            # ADC: gather per subspace, accumulate — (n, nq)
+            adc = np.zeros((len(ids), len(self.q_ids)))
+            for s in range(nsub):
+                adc += self.tables[:, s, codes[:, s]].T
+            cut = min(rerank * k, len(ids))
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self.q_ids)):
+                cand = np.argpartition(-adc[:, qi], kth=cut - 1)[:cut]
+                true = mn[cand] @ self.Q[qi]               # exact rerank
+                kk = min(k + 1, len(cand))
+                top = cand[np.argpartition(-true, kth=kk - 1)[:kk]]
+                out_q.extend([self.q_ids[qi]] * len(top))
+                out_v.extend(ids[top])
+                out_s.extend(mn[top] @ self.Q[qi])
+            return pa.table({"query_id": pa.array(np.array(out_q, np.int64)),
+                             "vec_id": pa.array(np.array(out_v, np.int64)),
+                             "score": pa.array(np.array(out_s, np.float64))})
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    local = ds.map_batches(PqScorer, batch_format="pyarrow",
+                           batch_size=4096, concurrency=2, num_cpus=0.5)
+    return local.groupby("query_id").map_groups(_merge_topk(k),
+                                                batch_format="pyarrow")

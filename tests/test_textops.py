@@ -340,3 +340,41 @@ def test_ngram_jaccard_df_cap_bounds_fanout():
     assert wide.count() == 0  # the only shared shingle has df=10 > 9
     ok = dd.ngram_jaccard_pairs(ds, tau_num=0, tau_den=1, max_df=10)
     assert ok.count() == 45   # C(10,2), each pair sharing exactly 1
+
+
+def test_pq_codes_compress_and_reconstruct():
+    """Codes are n_sub bytes; decoding them reconstructs normalized
+    vectors with small quantization error (far below unit norm)."""
+    from __spider_ray.stages import knn as knn_mod
+
+    codes = knn_mod.pq_encode(SF_SMALL).to_pandas()
+    raw = pq.read_table(f"{SF_SMALL}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    assert len(codes) == raw.num_rows
+    assert codes["code"].map(len).eq(8).all()      # 8 bytes vs 64 floats
+    _, m_s = knn_mod._bounded_sample(f"{SF_SMALL}/embeddings.parquet")
+    books = knn_mod.train_pq_codebooks(m_s)
+    ids = raw["vec_id"].to_numpy()
+    m = knn_mod._normalize(
+        np.asarray(raw["embedding"].combine_chunks().flatten(),
+                   dtype=np.float64).reshape(len(ids), -1))
+    by_id = dict(zip(codes["vec_id"], codes["code"]))
+    errs = []
+    for i in range(0, len(ids), 37):
+        c = np.frombuffer(by_id[ids[i]], dtype=np.uint8)
+        rec = np.concatenate([books[s, c[s]] for s in range(books.shape[0])])
+        errs.append(np.linalg.norm(rec - m[i]))
+    # unit vectors: mean quantization distance well under the ~1.41
+    # distance of a random unit pair
+    assert np.mean(errs) < 0.8, np.mean(errs)
+
+
+def test_pq_topk_recall_vs_brute():
+    from __spider_ray.stages import knn as knn_mod
+
+    brute = knn_mod.brute_force_topk(SF_SMALL, n_queries=10, k=5).to_pandas()
+    pq_ = knn_mod.pq_topk(SF_SMALL, n_queries=10, k=5).to_pandas()
+    want = {(int(q), int(v)) for q, v in zip(brute["query_id"], brute["vec_id"])}
+    got = {(int(q), int(v)) for q, v in zip(pq_["query_id"], pq_["vec_id"])}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall
