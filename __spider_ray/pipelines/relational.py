@@ -643,6 +643,214 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel (signup → view → purchase, strictly increasing
+    ts): each user's furthest stage reached.  Hash-bucket by user, then
+    ONE lexsort per bucket and three segmented ``minimum.reduceat``
+    passes — stage N's search is masked to rows strictly after stage
+    N-1's timestamp; no per-user Python loop."""
+    from ..functions.hashing import hash64_ints
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["user_id"].to_numpy().astype(np.uint64))
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def funnel_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        n = len(uid)
+        if not n:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "stage": pa.array([], pa.int64())})
+        order = np.lexsort((ts, uid))
+        u, t_, e_ = uid[order], ts[order], et[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        starts = np.nonzero(new_user)[0]
+        seg = np.cumsum(new_user) - 1
+        NONE = np.iinfo(np.int64).max
+
+        def first_after(mask: np.ndarray, after: np.ndarray) -> np.ndarray:
+            """Per-user min ts among masked rows with ts strictly after
+            the user's ``after`` (NONE = stage never reached)."""
+            ok = mask & (t_ > after[seg])
+            vals = np.where(ok, t_, NONE)
+            return np.minimum.reduceat(vals, starts)
+
+        neg = np.full(len(starts), -np.iinfo(np.int64).max)  # "after -inf"
+        t1 = first_after(e_ == "signup", neg)
+        t2 = first_after(e_ == "view", t1)
+        t3 = first_after(e_ == "purchase", t2)
+        stage = ((t1 < NONE).astype(np.int64) + (t2 < NONE) + (t3 < NONE))
+        return pa.table({"user_id": pa.array(u[starts]),
+                         "stage": pa.array(stage.astype(np.int64))})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: funnel_bucket(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow"))
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+v AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s.t1 GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t2 GROUP BY 1),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN v.user_id IS NOT NULL THEN 2
+                 WHEN s.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage
+FROM u LEFT JOIN s ON u.user_id = s.user_id
+       LEFT JOIN v ON u.user_id = v.user_id
+       LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+def q_segment_name_roster(sf_dir: str):
+    """Ordered string_agg: per market segment, the comma-joined
+    name roster sorted lexically — bucket by segment, one sort per
+    group, one join per segment (string building is inherent)."""
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_name"])
+
+    def roster(g: pa.Table) -> pa.Table:
+        names = sorted(g["c_name"].to_pylist())
+        return pa.table({"c_mktsegment": g["c_mktsegment"][:1],
+                         "names": pa.array([",".join(names)]),
+                         "n_members": pa.array([len(names)], pa.int64())})
+
+    return ds.groupby("c_mktsegment").map_groups(roster,
+                                                 batch_format="pyarrow")
+
+
+SQL_SEGMENT_ROSTER = """
+SELECT c_mktsegment,
+       string_agg(c_name, ',' ORDER BY c_name) AS names,
+       COUNT(*) AS n_members
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_orders_cohorts(sf_dir: str):
+    """Cohort retention: customers grouped by first-order month, counted
+    per months-elapsed offset.  Bucket by customer, ONE lexsort per
+    bucket computes each customer's cohort month AND its distinct
+    active months (months are int month-since-epoch, so offsets are
+    exact integer arithmetic); the second shuffle only moves
+    (cohort, offset) count partials."""
+    from ..functions.hashing import hash64_ints
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["o_custkey"].to_numpy().astype(np.uint64))
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def cohort_bucket(g: pa.Table) -> pa.Table:
+        ck = g["o_custkey"].to_numpy()
+        mo = g["o_orderdate"].to_numpy().astype("datetime64[M]")
+        moi = mo.astype(np.int64)
+        order = np.lexsort((moi, ck))
+        c_, m_ = ck[order], moi[order]
+        new_c = np.empty(len(c_), dtype=bool)
+        if not len(c_):
+            return pa.table({"cohort": pa.array([], pa.string()),
+                             "offset_months": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        new_c[0] = True
+        new_c[1:] = c_[1:] != c_[:-1]
+        seg = np.cumsum(new_c) - 1
+        starts = np.nonzero(new_c)[0]
+        cm = m_[starts]                        # cohort month per customer
+        # distinct (customer, month) rows only
+        keep = np.empty(len(c_), dtype=bool)
+        keep[0] = True
+        keep[1:] = new_c[1:] | (m_[1:] != m_[:-1])
+        off = m_[keep] - cm[seg[keep]]
+        labels = cm[seg[keep]].astype("datetime64[M]").astype(str)
+        return pa.table({"cohort": pa.array(labels),
+                         "offset_months": pa.array(off.astype(np.int64)),
+                         "n": pa.array(np.ones(keep.sum(), dtype=np.int64))})
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        return pa.table({"cohort": g["cohort"][:1],
+                         "offset_months": g["offset_months"][:1],
+                         "n_custs": pa.array([int(g["n"].to_numpy().sum())],
+                                             pa.int64())})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: cohort_bucket(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow")
+              .groupby(["cohort", "offset_months"])
+              .map_groups(reduce_group, batch_format="pyarrow"))
+
+
+SQL_ORDERS_COHORTS = """
+WITH fo AS (SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cm
+            FROM orders GROUP BY 1),
+m AS (SELECT DISTINCT o.o_custkey, date_trunc('month', o.o_orderdate) AS om,
+             fo.cm
+      FROM orders o JOIN fo USING (o_custkey))
+SELECT strftime(cm, '%Y-%m') AS cohort,
+       CAST(date_diff('month', cm, om) AS BIGINT) AS offset_months,
+       COUNT(*) AS n_custs
+FROM m GROUP BY 1, 2
+"""
+
+
+def q_token_heavy_hitters(sf_dir: str, k: int = 20):
+    """Corpus-wide heavy hitters: top-k tokens by total frequency.
+    In-batch combining (per-batch token counts) means the groupby only
+    moves (token, partial-count) rows — vocabulary-sized, not
+    corpus-sized; the final sort runs on the aggregated vocabulary.
+    Ties break on token asc for a deterministic top-k."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(w for w in s.lower().split(" ") if w)
+        vc = pd.Series(toks).value_counts()
+        return pa.table({"token": pa.array(vc.index.to_numpy(dtype=object)),
+                         "cnt": pa.array(vc.to_numpy().astype(np.int64))})
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        return pa.table({"token": g["token"][:1],
+                         "cnt": pa.array([int(g["cnt"].to_numpy().sum())],
+                                         pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("token").map_groups(reduce_group,
+                                          batch_format="pyarrow"))
+    top = agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+    def rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rnk", pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)))
+    # limit(k) yields one tiny block; ranking it locally is exact
+    return top.repartition(1).map_batches(rank, batch_format="pyarrow")
+
+
+SQL_TOKEN_HEAVY_HITTERS = """
+WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+              FROM documents),
+c AS (SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> '' GROUP BY 1)
+SELECT token, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rnk
+FROM c ORDER BY cnt DESC, token LIMIT 20
+"""
+
+
 def q_orders_cumulative(sf_dir: str):
     """Per-customer running total — hash-bucket shuffle keyed by
     customer, then one vectorized lexsort + segmented cumsum per bucket
@@ -1142,3 +1350,7 @@ register("rel_orders_topk_per_cust", q_orders_topk_per_cust, SQL_ORDERS_TOPK)
 register("rel_events_lead_lag", q_events_lead_lag, SQL_EVENTS_LEAD_LAG)
 register("rel_lineitem_rollup", q_lineitem_rollup, SQL_LINEITEM_ROLLUP)
 register("rel_orders_pivot", q_orders_pivot, SQL_ORDERS_PIVOT)
+register("rel_events_funnel", q_events_funnel, SQL_EVENTS_FUNNEL)
+register("rel_segment_name_roster", q_segment_name_roster, SQL_SEGMENT_ROSTER)
+register("rel_orders_cohorts", q_orders_cohorts, SQL_ORDERS_COHORTS)
+register("text_heavy_hitters", q_token_heavy_hitters, SQL_TOKEN_HEAVY_HITTERS)

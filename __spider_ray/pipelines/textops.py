@@ -362,6 +362,64 @@ FROM wdf QUALIFY rnk <= 5
 """
 
 
+_EMAIL_RE = r"[a-z0-9]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = r"\+1-555-[0-9]+"
+
+
+def q_text_pii_scrub(sf_dir: str):
+    """PII redaction (the C4-style scrub pass): replace emails and
+    phone numbers with typed markers and count the redactions.  The
+    corpus carries no PII, so every 11th doc gets a deterministic
+    synthetic contact line first — injected identically in the SQL
+    oracle — and the scrubbed TEXT is part of the hash, so the regex
+    semantics (leftmost, greedy, same char classes in Python re and
+    DuckDB's RE2) are verified byte-for-byte."""
+    import re
+    email, phone = re.compile(_EMAIL_RE), re.compile(_PHONE_RE)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=_doc_blocks(sf_dir))
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        out, n_em, n_ph = [], [], []
+        for i, s in zip(ids, texts):
+            if i % 11 == 0:
+                s = f"{s} contact u{i}@mail.test or +1-555-{i} now"
+            ne = len(email.findall(s))
+            s = email.sub("<EMAIL>", s)
+            np_ = len(phone.findall(s))
+            s = phone.sub("<PHONE>", s)
+            out.append(s); n_em.append(ne); n_ph.append(np_)
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "text": pa.array(out, pa.string()),
+                         "n_emails": pa.array(np.array(n_em, np.int64)),
+                         "n_phones": pa.array(np.array(n_ph, np.int64))})
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+SQL_TEXT_PII = f"""
+WITH pii AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN text || ' contact u' || doc_id
+                   || '@mail.test or +1-555-' || doc_id || ' now'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS text,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(
+              regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+              '{_PHONE_RE}')) AS BIGINT) AS n_phones
+FROM pii
+"""
+
+
 def q_dedup_ngram(sf_dir: str):
     """EXACT n-gram Jaccard near-dup pairs (≥ 0.7) via a distributed
     inverted shingle index — the estimate-free counterpart of
@@ -450,6 +508,7 @@ register("dedup_clusters", q_dedup_clusters, None)
 register("dedup_simhash", q_dedup_simhash, None)
 register("dedup_ngram", q_dedup_ngram, SQL_DEDUP_NGRAM)
 register("text_tfidf", q_text_tfidf, SQL_TEXT_TFIDF)
+register("text_pii_scrub", q_text_pii_scrub, SQL_TEXT_PII)
 register("knn_brute_topk", q_knn_brute, SQL_KNN_BRUTE)
 register("knn_lsh_topk", q_knn_lsh, None)
 register("knn_ivf_topk", q_knn_ivf, None)

@@ -104,6 +104,10 @@ def run_bench() -> dict:
     textops.q_dedup_minhash(SF_DIR).to_pandas()
     queries["dedup_minhash"] = time.perf_counter() - t2
 
+    t2b = time.perf_counter()
+    textops.q_dedup_ngram(SF_DIR).to_pandas()
+    queries["dedup_ngram"] = time.perf_counter() - t2b
+
     t3 = time.perf_counter()
     textops.q_knn_brute(SF_DIR).to_pandas()
     queries["knn_brute"] = time.perf_counter() - t3
