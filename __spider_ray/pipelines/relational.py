@@ -1325,6 +1325,248 @@ FROM events e ASOF JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
 """
 
 
+def q_cust_above_segment_avg(sf_dir: str):
+    """Correlated-subquery shape: customers whose total order spend
+    strictly exceeds their market segment's average (among customers
+    with orders).  Per-customer totals via hash-bucket segmented sums,
+    a partitioned hash_join against the customer dim (corpus-scale at
+    100 TB, so no driver broadcast of either big side), and the
+    segment averages — bounded by segment cardinality — collected once
+    and compared by integer cross-multiply (total*n > sum), no float
+    division."""
+    from ..functions.hashing import hash64_ints
+    from ..functions.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"c_custkey": t["o_custkey"],
+                      "cents": _cents(t["o_totalprice"])})
+        g = g.group_by("c_custkey").aggregate([("cents", "sum")])
+        b = (hash64_ints(g["c_custkey"].to_numpy().astype(np.uint64))
+             % np.uint64(64)).astype(np.int64)
+        return pa.table({"c_custkey": g["c_custkey"],
+                         "cents": g["cents_sum"],
+                         "bucket": pa.array(b)})
+
+    def sum_bucket(g: pa.Table) -> pa.Table:
+        ck = g["c_custkey"].to_numpy()
+        cents = np.asarray(g["cents"].combine_chunks()).astype(np.int64)
+        if not len(ck):
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "total_cents": pa.array([], pa.int64())})
+        order = np.argsort(ck, kind="mergesort")
+        c_, v_ = ck[order], cents[order]
+        starts = np.nonzero(np.r_[True, c_[1:] != c_[:-1]])[0]
+        return pa.table({"c_custkey": pa.array(c_[starts]),
+                         "total_cents": pa.array(
+                             np.add.reduceat(v_, starts).astype(np.int64))})
+
+    totals = (orders.map_batches(o_partial, batch_format="pyarrow")
+                    .groupby("bucket")
+                    .map_groups(lambda g: sum_bucket(g.drop_columns(["bucket"])),
+                                batch_format="pyarrow"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_join(cust, totals, on=["c_custkey"], how="inner")
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_mktsegment").aggregate(
+            [("total_cents", "sum"), ("total_cents", "count")])
+        return pa.table({"c_mktsegment": g["c_mktsegment"],
+                         "seg_sum": g["total_cents_sum"],
+                         "seg_n": g["total_cents_count"].cast(pa.int64())})
+
+    def seg_reduce(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": g["c_mktsegment"][:1],
+            "seg_sum": pa.array([int(g["seg_sum"].to_numpy().sum())], pa.int64()),
+            "seg_n": pa.array([int(g["seg_n"].to_numpy().sum())], pa.int64())})
+
+    seg = (joined.map_batches(seg_partial, batch_format="pyarrow")
+                 .groupby("c_mktsegment")
+                 .map_groups(seg_reduce, batch_format="pyarrow")).take_all()
+    seg_sum = {r["c_mktsegment"]: int(r["seg_sum"]) for r in seg}
+    seg_n = {r["c_mktsegment"]: int(r["seg_n"]) for r in seg}
+
+    def above(t: pa.Table) -> pa.Table:
+        segs = t["c_mktsegment"].to_pylist()
+        tot = np.asarray(t["total_cents"].combine_chunks()).astype(np.int64)
+        sums = np.array([seg_sum[s] for s in segs], dtype=np.int64)
+        ns = np.array([seg_n[s] for s in segs], dtype=np.int64)
+        return t.filter(pa.array(tot * ns > sums))
+
+    return joined.map_batches(above, batch_format="pyarrow")
+
+
+SQL_CUST_ABOVE_SEG_AVG = """
+WITH ct AS (SELECT o_custkey AS c_custkey,
+                   CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                     AS total_cents
+            FROM orders GROUP BY 1),
+j AS (SELECT c.c_custkey, c.c_mktsegment, ct.total_cents
+      FROM customer c JOIN ct USING (c_custkey)),
+s AS (SELECT c_mktsegment, SUM(total_cents) AS seg_sum, COUNT(*) AS seg_n
+      FROM j GROUP BY 1)
+SELECT j.c_custkey, j.c_mktsegment, j.total_cents
+FROM j JOIN s USING (c_mktsegment)
+WHERE j.total_cents * s.seg_n > s.seg_sum
+"""
+
+
+def q_events_daily_new_users(sf_dir: str):
+    """Cumulative distinct users by day: first-seen day per user via
+    hash-bucket segmented min, daily new-user counts via a
+    calendar-bounded groupby, and the running total on the tiny
+    per-day result (repartition(1) is exact because rows ≤ #days)."""
+    from ..functions.hashing import hash64_ints
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("ts", "min")])
+        b = (hash64_ints(g["user_id"].to_numpy().astype(np.uint64))
+             % np.uint64(64)).astype(np.int64)
+        return pa.table({"user_id": g["user_id"], "ts": g["ts_min"],
+                         "bucket": pa.array(b)})
+
+    def min_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if not len(uid):
+            return pa.table({"day": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        order = np.argsort(uid, kind="mergesort")
+        u_, t_ = uid[order], ts[order]
+        starts = np.nonzero(np.r_[True, u_[1:] != u_[:-1]])[0]
+        first = np.minimum.reduceat(t_, starts)
+        days = first.astype("datetime64[us]").astype("datetime64[D]")
+        # in-bucket partial daily counts — the day groupby moves
+        # (day, partial) rows, calendar-bounded
+        ud, cnt = np.unique(days, return_counts=True)
+        return pa.table({"day": pa.array(ud.astype(str)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def day_reduce(g: pa.Table) -> pa.Table:
+        return pa.table({"day": g["day"][:1],
+                         "new_users": pa.array(
+                             [int(g["n"].to_numpy().sum())], pa.int64())})
+
+    daily = (ds.map_batches(partial_min, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(lambda g: min_bucket(g.drop_columns(["bucket"])),
+                           batch_format="pyarrow")
+               .groupby("day").map_groups(day_reduce, batch_format="pyarrow"))
+
+    def cum(t: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(t["day"].to_pylist(), dtype=object),
+                           kind="mergesort")
+        days = np.asarray(t["day"].to_pylist(), dtype=object)[order]
+        nu = t["new_users"].to_numpy()[order]
+        return pa.table({"day": pa.array(list(days), pa.string()),
+                         "new_users": pa.array(nu.astype(np.int64)),
+                         "cum_users": pa.array(np.cumsum(nu).astype(np.int64))})
+
+    return daily.repartition(1).map_batches(cum, batch_format="pyarrow")
+
+
+SQL_DAILY_NEW_USERS = """
+WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS d FROM events GROUP BY 1),
+n AS (SELECT d, COUNT(*) AS new_users FROM f GROUP BY 1)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+FROM n
+"""
+
+
+def q_shipping_priority(sf_dir: str, k: int = 10):
+    """Q3-style 3-way join: BUILDING-segment customers semi-filter
+    orders (partitioned semi join — no driver key set), lineitem
+    revenue pre-aggregated per order inside each batch BEFORE the
+    orderkey hash_join, then a bucket-segmented rollup and a global
+    top-10 by revenue.  Both joins are corpus×corpus partitioned —
+    nothing large is broadcast."""
+    from ..functions.hashing import hash64_ints
+    from ..functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def cprep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], SEG))
+        return pa.table({"c_custkey": t["c_custkey"]})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def oprep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"],
+                             pa.scalar(np.datetime64(Q3_DATE, "us"))))
+        return pa.table({"c_custkey": t["o_custkey"],
+                         "l_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"]})
+
+    bo = hash_join(orders.map_batches(oprep, batch_format="pyarrow"),
+                   cust.map_batches(cprep, batch_format="pyarrow"),
+                   on=["c_custkey"], how="semi").drop_columns(["c_custkey"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def lprep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"],
+                                pa.scalar(np.datetime64(Q3_DATE, "us"))))
+        rev = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            10000.0)).cast(pa.int64())
+        g = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev}) \
+              .group_by("l_orderkey").aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"], "rev": g["rev_sum"]})
+
+    joined = hash_join(li.map_batches(lprep, batch_format="pyarrow"), bo,
+                       on=["l_orderkey"], how="inner")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["l_orderkey"].to_numpy().astype(np.uint64))
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def rollup(g: pa.Table) -> pa.Table:
+        ok = g["l_orderkey"].to_numpy()
+        rev = np.asarray(g["rev"].combine_chunks()).astype(np.int64)
+        od = g["o_orderdate"].to_numpy()
+        if not len(ok):
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "revenue_cents": pa.array([], pa.int64()),
+                             "o_orderdate": pa.array([], pa.timestamp("us"))})
+        order = np.argsort(ok, kind="mergesort")
+        o_, r_, d_ = ok[order], rev[order], od[order]
+        starts = np.nonzero(np.r_[True, o_[1:] != o_[:-1]])[0]
+        return pa.table({"l_orderkey": pa.array(o_[starts]),
+                         "revenue_cents": pa.array(
+                             np.add.reduceat(r_, starts).astype(np.int64)),
+                         "o_orderdate": pa.array(d_[starts])})
+
+    agg = (joined.map_batches(bucketize, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(lambda g: rollup(g.drop_columns(["bucket"])),
+                             batch_format="pyarrow"))
+    return agg.sort(["revenue_cents", "l_orderkey"],
+                    descending=[True, False]).limit(k)
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+       AS BIGINT) AS revenue_cents,
+  o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{SEG}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+"""
+
+
 # -------------------------------------------------------------- registration
 register("rel_pricing_summary", q_pricing_summary, SQL_PRICING)
 register("rel_top_orders", q_top_orders, SQL_TOP_ORDERS)
@@ -1354,3 +1596,8 @@ register("rel_events_funnel", q_events_funnel, SQL_EVENTS_FUNNEL)
 register("rel_segment_name_roster", q_segment_name_roster, SQL_SEGMENT_ROSTER)
 register("rel_orders_cohorts", q_orders_cohorts, SQL_ORDERS_COHORTS)
 register("text_heavy_hitters", q_token_heavy_hitters, SQL_TOKEN_HEAVY_HITTERS)
+register("rel_cust_above_segment_avg", q_cust_above_segment_avg,
+         SQL_CUST_ABOVE_SEG_AVG)
+register("rel_events_daily_new_users", q_events_daily_new_users,
+         SQL_DAILY_NEW_USERS)
+register("rel_shipping_priority", q_shipping_priority, SQL_SHIPPING_PRIORITY)

@@ -496,6 +496,115 @@ def q_emb_near_dups(sf_dir: str):
     return knn_mod.embedding_near_dups(sf_dir, threshold=0.2)
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Canonical selection per duplicate group (the training-data
+    variant of exact dedup: keep the BEST copy, not the first) — group
+    key md5(lower(text)), winner = longest text then lowest doc_id,
+    hash-bucket shuffle + one lexsort per bucket."""
+    from ..functions.hashing import hash64, md5_hex
+
+    def fp_len(t: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(t["text"])
+        fp = pa.array(md5_hex(lowered.to_pylist()), pa.string())
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()), "fp": fp,
+                         "n_chars": pc.utf8_length(t["text"]).cast(pa.int64())})
+
+    ds = corpus(sf_dir).map_batches(fp_len, batch_format="pyarrow")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64(t["fp"].combine_chunks()) % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def best_per_fp(g: pa.Table) -> pa.Table:
+        fps = np.asarray(g["fp"].to_pylist(), dtype=object)
+        ids = g["doc_id"].to_numpy()
+        nch = g["n_chars"].to_numpy()
+        if not len(ids):
+            return pa.table({"fp": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "n_copies": pa.array([], pa.int64())})
+        order = np.lexsort((ids, -nch, fps))   # per fp: longest, then min id
+        fs, is_, ns = fps[order], ids[order], nch[order]
+        first = np.r_[True, fs[1:] != fs[:-1]]
+        counts = np.diff(np.append(np.nonzero(first)[0], len(fs)))
+        return pa.table({"fp": pa.array(fs[first]),
+                         "doc_id": pa.array(is_[first]),
+                         "n_chars": pa.array(ns[first].astype(np.int64)),
+                         "n_copies": pa.array(counts.astype(np.int64))})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: best_per_fp(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow"))
+
+
+SQL_DEDUP_KEEP_BEST = f"""WITH {CORPUS_CTE.strip()},
+f AS (SELECT doc_id, md5(lower(text)) AS fp,
+             CAST(len(text) AS BIGINT) AS n_chars FROM corpus),
+r AS (SELECT fp, doc_id, n_chars,
+             COUNT(*) OVER (PARTITION BY fp) AS cnt,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM f)
+SELECT fp, doc_id, n_chars, CAST(cnt AS BIGINT) AS n_copies
+FROM r WHERE rn = 1
+"""
+
+
+def q_emb_centroid_sums(sf_dir: str):
+    """Per-label centroid of the embedding column, exposed as exact
+    integer partial sums (floor(v*1e6) per component — floor, not
+    round, so Python/DuckDB tie behavior can't diverge) plus counts:
+    (label, dim, qsum, n).  Each batch collapses to label×dim partial
+    rows via one reduceat over the stacked matrix — the groupby moves
+    labels×64 rows per batch, never an embedding."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy().astype(np.int64)
+        flat = np.asarray(t["embedding"].combine_chunks().flatten(),
+                          dtype=np.float64)
+        dim = len(flat) // max(1, len(lab))
+        q = np.floor(flat * 1e6).astype(np.int64).reshape(len(lab), dim)
+        order = np.argsort(lab, kind="mergesort")
+        l_, q_ = lab[order], q[order]
+        starts = np.nonzero(np.r_[True, l_[1:] != l_[:-1]])[0]
+        sums = np.add.reduceat(q_, starts, axis=0)       # (n_labels, dim)
+        cnt = np.diff(np.append(starts, len(l_)))
+        n_lab = len(starts)
+        return pa.table({
+            "label": pa.array(np.repeat(l_[starts], dim)),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                    n_lab)),
+            "qsum": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(cnt, dim).astype(np.int64))})
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        return pa.table({"label": g["label"][:1], "dim": g["dim"][:1],
+                         "qsum": pa.array([int(g["qsum"].to_numpy().sum())],
+                                          pa.int64()),
+                         "n": pa.array([int(g["n"].to_numpy().sum())],
+                                       pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["label", "dim"])
+              .map_groups(reduce_group, batch_format="pyarrow"))
+
+
+SQL_EMB_CENTROIDS = """
+WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                  unnest(embedding) AS v
+           FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(CAST(floor(CAST(v AS DOUBLE)*1000000) AS BIGINT)) AS BIGINT)
+         AS qsum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY 1, 2
+"""
+
+
 register("text_stats", q_text_stats, SQL_TEXT_STATS)
 register("text_quality", q_text_quality, SQL_TEXT_QUALITY)
 register("text_lang_id", q_lang_id, SQL_LANG_ID)
@@ -514,3 +623,5 @@ register("knn_lsh_topk", q_knn_lsh, None)
 register("knn_ivf_topk", q_knn_ivf, None)
 register("knn_pq_topk", q_knn_pq, None)
 register("emb_near_dups", q_emb_near_dups, None)
+register("dedup_keep_best", q_dedup_keep_best, SQL_DEDUP_KEEP_BEST)
+register("emb_centroid_sums", q_emb_centroid_sums, SQL_EMB_CENTROIDS)
