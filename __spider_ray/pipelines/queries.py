@@ -386,6 +386,58 @@ def _media_pixels(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+PHASH_DUP_MOD = 5          # every md5(ref)%5==0 image gets a near-dup twin
+PHASH_DUP_DELTA = 9        # brightness shift — measured hamming ≤ 2 bits
+
+
+def _media_phash(sf_dir: str):
+    """Image near-dup detection via DCT perceptual hash (the image
+    analog of SimHash): media spans → synthetic BMP payloads, plus a
+    deterministic brightness-shifted twin for every md5-selected ref
+    (the injected near-dups a dedup stage must catch) → actor-pool
+    pHash (32×32 grayscale → 2-D DCT → 8×8 median-threshold bits,
+    DCT basis built once per actor) → the SAME 4×16 pigeonhole
+    banding shuffle SimHash text dedup uses
+    (``stages/dedup.sig64_near_dups``) → distinct (a, b, hamming ≤ 3)
+    pairs.  Rows-only (a 2-D DCT isn't practically SQL-expressible);
+    tests assert the DCT against a naive O(n⁴) reference and that
+    every injected twin pair is recovered (tests/test_media_phash.py)."""
+    import hashlib
+
+    import numpy as np
+
+    from ..functions.hashing import hash64
+    from ..stages import dedup as dd
+    from ..stages import media
+
+    refs = _media_refs(sf_dir)
+
+    def attach_payload(t: pa.Table) -> pa.Table:
+        out_refs: list[str] = []
+        payloads: list[bytes] = []
+        for r in t["media_ref"].to_pylist():
+            p = media.synth_bmp(r)
+            out_refs.append(r)
+            payloads.append(p)
+            if int(hashlib.md5(r.encode()).hexdigest()[:8], 16) \
+                    % PHASH_DUP_MOD == 0:
+                img = media.decode_bmp(p)
+                twin = np.clip(img.astype(np.int64) + PHASH_DUP_DELTA,
+                               0, 255).astype(np.uint8)
+                out_refs.append(r + "~twin")
+                payloads.append(media.encode_bmp(twin))
+        ids = hash64(pa.array(out_refs, pa.string())).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    sigs = (refs.map_batches(attach_payload, batch_format="pyarrow",
+                             batch_size=media.MEDIA_BATCH_SIZE)
+                .map_batches(media.PHashWorker, batch_format="pyarrow",
+                             batch_size=media.MEDIA_BATCH_SIZE,
+                             concurrency=2, num_cpus=0.5))
+    return dd.sig64_near_dups(sigs, max_hamming=3)
+
+
 def _media_refs(sf_dir: str):
     spans = crawl.exploded_spans(sf_dir)
     return spans.map_batches(
@@ -532,6 +584,7 @@ JOIN apdim a2 ON r.to_city_code = a2.ap_code"""
         return graph_topk(sf_dir)
     register("knn_graph_topk", _knn_graph_topk, None)
     register("media_audio", _media_audio, None)
+    register("media_phash", _media_phash, None)
     register("media_frames", _media_frames, None)
     register("crawl_rendered_spans", _crawl_rendered_spans,
              f"{osql.CRAWL_RENDER} SELECT doc_id, \"offset\", kind, text, "

@@ -49,10 +49,11 @@ def q_events_ntile(sf_dir: str, tiles: int = NTILE_T):
        ~18k rows at sf0.1 and O(price domain) at 100 TB, so collecting
        it on the driver is safe where collecting rows never is;
     2. the T−1 tile boundaries are positions in the cumulative
-       histogram.  A boundary interior to one value's run is resolved
-       to an exact ``event_id`` by a *filtered* distributed
-       sort+limit+max over just that value's rows (≤ the heaviest
-       value's multiplicity, never the corpus);
+       histogram.  Boundaries interior to a value's run (only possible
+       for values with multiplicity ≥ 2) are resolved to exact
+       ``event_id``s by ONE extra filtered scan that keeps just the
+       ≤ T−1 boundary values' rows, materialized small, then a
+       sort+limit+max per cut over that subset — never the corpus;
     3. tile assignment is a broadcast of T−1 ``(value, last_event_id)``
        cut keys and a vectorized comparison per batch — no shuffle.
 
@@ -87,21 +88,38 @@ def q_events_ntile(sf_dir: str, tiles: int = NTILE_T):
 
     INT64_MAX = np.iinfo(np.int64).max
     cut_keys: list[tuple[int, int]] = []       # (value, last_event_id)
-    for p in cut_pos:
+    interior: list[tuple[int, int, int]] = []  # (cut index, value, k)
+    for ci, p in enumerate(cut_pos):
         vi = int(np.searchsorted(cum, p))      # first value with cum >= p
         v = int(values[vi])
         c_lt = int(cum[vi - 1]) if vi else 0
         k = int(p) - c_lt                      # k-th smallest event of v
         if k == int(counts[vi]):
             cut_keys.append((v, INT64_MAX))    # cut at end of the value run
-            continue
-        kth = (ds.map_batches(
-                   lambda t, v=v: pa.table(
-                       {"event_id": t.filter(pc.equal(_cents(t["value"]), v))
-                                     ["event_id"]}),
-                   batch_format="pyarrow")
-                 .sort("event_id").limit(k).max("event_id"))
-        cut_keys.append((v, int(kth)))
+        else:
+            cut_keys.append((v, -1))           # placeholder, resolved below
+            interior.append((ci, v, k))
+
+    if interior:
+        # ONE filtered scan resolves every interior cut: keep only rows
+        # whose value is a boundary value (≤ T−1 values; with unique
+        # values a cut is never interior, so this subset is the
+        # boundary values' multiplicities — tiny), materialize it, then
+        # a sort+limit+max per cut runs on that subset, not the corpus.
+        bvals = pa.array(sorted({v for _, v, _ in interior}), pa.int64())
+
+        def keep_boundary(t: pa.Table) -> pa.Table:
+            vc = _cents(t["value"])
+            m = pc.is_in(vc, value_set=bvals)
+            return pa.table({"event_id": t.filter(m)["event_id"],
+                             "value_cents": vc.filter(m)})
+
+        sub = ds.map_batches(keep_boundary, batch_format="pyarrow") \
+                .materialize()
+        for ci, v, k in interior:
+            kth = (sub.filter(expr=f"value_cents == {v}")
+                      .sort("event_id").limit(k).max("event_id"))
+            cut_keys[ci] = (v, int(kth))
 
     cut_v = np.array([c[0] for c in cut_keys], dtype=np.int64)
     cut_e = np.array([c[1] for c in cut_keys], dtype=np.int64)

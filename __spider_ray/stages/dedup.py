@@ -569,8 +569,14 @@ def _simhash_pairs_hash_bucket(g: pa.Table) -> pa.Table:
                      "hamming": pa.array(ham)})
 
 
-def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Dataset:
-    sigs = docs.map_batches(simhash_batch, batch_format="pyarrow")
+def sig64_near_dups(sigs: ray.data.Dataset,
+                    max_hamming: int = 3) -> ray.data.Dataset:
+    """Near-dup pairs among 64-bit signatures — input (doc_id:int64,
+    simhash:int64), output distinct (a, b, hamming) with hamming ≤
+    max_hamming.  The 4×16-bit pigeonhole banding tail of
+    ``simhash_near_dups``, factored out so ANY 64-bit structural hash
+    rides the same shuffle shape (SimHash text, pHash images — the
+    perceptual-hash stage in ``stages/media.py`` feeds this)."""
     pairs = (sigs.map_batches(simhash_bands_batch, batch_format="pyarrow")
                  .map_batches(_bucketize_on("chunk_val"), batch_format="pyarrow")
                  .groupby("hbucket")
@@ -580,3 +586,8 @@ def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.
         lambda t: t.filter(pa.compute.less_equal(t["hamming"], max_hamming)),
         batch_format="pyarrow")
     return _distinct_pairs(pairs, extra_cols=("hamming",))
+
+
+def simhash_near_dups(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Dataset:
+    sigs = docs.map_batches(simhash_batch, batch_format="pyarrow")
+    return sig64_near_dups(sigs, max_hamming=max_hamming)

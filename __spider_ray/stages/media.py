@@ -326,3 +326,58 @@ def resize_plan_batch(batch: pa.Table, max_side: int = 512) -> pa.Table:
         "target_w", pa.array(np.floor(w * scale).astype(np.int64))
     ).append_column(
         "target_h", pa.array(np.floor(h * scale).astype(np.int64)))
+
+
+# -------------------------------------------------------- perceptual hash
+# Classic DCT pHash (the image analog of SimHash): grayscale → 32×32 →
+# 2-D DCT-II → keep the 8×8 lowest-frequency block → threshold at the
+# median (DC excluded) → 64-bit signature.  Near-identical images
+# (recompression, small edits, noise) land within a few bits; the
+# signatures feed the SAME 4×16 pigeonhole banding shuffle as SimHash
+# (``stages/dedup.sig64_near_dups``) — one candidate-pair machinery for
+# text and images.
+
+PHASH_SIDE = 32
+PHASH_KEEP = 8
+
+
+def _dct_basis(n: int = PHASH_SIDE) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n×n): row k is the k-th cosine
+    basis vector — ``D @ x`` is the 1-D DCT; ``D @ img @ D.T`` the 2-D."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    i = np.arange(n)[None, :].astype(np.float64)
+    d = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def phash64(img: np.ndarray, basis: np.ndarray | None = None) -> int:
+    """64-bit perceptual hash of an (h, w, 3) uint8 image."""
+    d = _dct_basis() if basis is None else basis
+    gray = img.astype(np.float64).mean(axis=2)
+    small = resize_nearest(gray[:, :, None].repeat(3, axis=2),
+                           PHASH_SIDE, PHASH_SIDE).astype(np.float64).mean(axis=2)
+    coeff = d @ small @ d.T
+    block = coeff[:PHASH_KEEP, :PHASH_KEEP].reshape(-1)
+    med = np.median(block[1:])                 # DC excluded from the median
+    bits = (block > med).astype(np.uint8)
+    bits[0] = 0                                # DC bit pinned
+    return int(np.packbits(bits, bitorder="little").view(np.uint64)[0])
+
+
+class PHashWorker:
+    """Actor-pool stage: (img_id:int64, payload:binary) → adds
+    ``simhash:int64`` (the pHash signature, named for the shared
+    ``sig64_near_dups`` banding contract).  The DCT basis is built once
+    per actor — the model-load-per-request anti-pattern inverted, as
+    with the other media workers."""
+
+    def __init__(self):
+        self.basis = _dct_basis()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = np.empty(batch.num_rows, dtype=np.uint64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            sigs[i] = phash64(decode_bmp(p), self.basis)
+        out = batch.drop_columns(["payload"])
+        return out.append_column("simhash", pa.array(sigs.astype(np.int64)))
