@@ -490,6 +490,18 @@ def _crawl_documents(sf_dir: str):
     return crawl.documents(sf_dir)
 
 
+def _media_captions(sf_dir: str):
+    """Interleaved-payload caption pairing: every media span captioned
+    with the nearest preceding non-null text span of its document —
+    the image→alt-text relation a multimodal training pipeline derives
+    from this table.  Pure map_batches over the nested docs (a doc's
+    span stream is already co-located in its row), zero shuffle at any
+    scale; the forward fill is one np.maximum.accumulate per batch."""
+    from ..stages import spans as sp
+    return crawl.documents(sf_dir).map_batches(
+        sp.captions_batch, batch_format="pyarrow")
+
+
 _CRAWL_SQL = {
     "crawl_seeds": f"{osql.with_chain(osql.SEEDS_CTE)} SELECT * FROM seeds",
     "crawl_frontier": f"{osql.with_chain(osql.SEEDS_CTE, osql.FRONTIER_CTE)} "
@@ -516,6 +528,14 @@ _CRAWL_SQL = {
     "crawl_robots_deny": f"{osql.with_chain(osql.SEEDS_CTE, osql.FRONTIER_CTE)} "
                          "SELECT url, host, seed_index, day_offset FROM frontier "
                          "WHERE host <> 'bjs.flights.test'",
+    "media_captions": f"{osql.CRAWL_SPANS} "
+                      'SELECT doc_id, CAST("offset" AS BIGINT) AS media_offset, '
+                      "media_ref, caption FROM ("
+                      'SELECT doc_id, "offset", kind, media_ref, '
+                      "last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS) "
+                      'OVER (PARTITION BY doc_id ORDER BY "offset" '
+                      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS caption "
+                      "FROM spans) WHERE kind = 'media'",
     "crawl_cabins": f'{osql.CRAWL_DETAIL} SELECT detail_url, host, plane_no, off_date, '
                     'cabin_idx, "ruleId", "limitLabel", "clientTicketPrice", '
                     'lep, lrp, ml, baggage FROM cabins',
@@ -543,6 +563,7 @@ def _ensure_builtin() -> None:
     register("crawl_od_counts", _crawl_od_counts, _CRAWL_SQL["crawl_od_counts"])
     register("crawl_min_price", _crawl_min_price, _CRAWL_SQL["crawl_min_price"])
     register("crawl_dead_letter", _crawl_dead_letter, _CRAWL_SQL["crawl_dead_letter"])
+    register("media_captions", _media_captions, _CRAWL_SQL["media_captions"])
     register("crawl_robots_deny", _crawl_robots_deny, _CRAWL_SQL["crawl_robots_deny"])
     media_sql = f"""{osql.CRAWL_SPANS},
 media AS (

@@ -593,6 +593,91 @@ def q_emb_centroid_sums(sf_dir: str):
               .map_groups(reduce_group, batch_format="pyarrow"))
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 App. C style n-gram overlap):
+    flag every corpus doc sharing ≥1 distinct word 4-gram with the
+    "benchmark" subset (docs with doc_id % 19 == 0 stand in for a
+    held-out eval suite).  Scale shape: the benchmark grams are
+    extracted distributed, reduced to a sorted uint64 hash array on the
+    driver (bounded — a benchmark suite is fixed-size regardless of
+    corpus scale), broadcast once via ``ray.put``, and the corpus pass
+    is a single shuffle-free map_batches doing one ``searchsorted`` per
+    batch.  Output: (doc_id, n_hits = distinct contaminated grams)."""
+    import numpy as np
+
+    from ..stages import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64()).to_numpy()
+        return tx.gram_hash_table(t.filter(pa.array(ids % tx.DECON_MOD == 0)))
+
+    parts = [b["gram"].to_numpy()
+             for b in ds.map_batches(bench_grams, batch_format="pyarrow")
+                        .iter_batches(batch_format="pyarrow")]
+    bench = np.unique(np.concatenate(parts).astype(np.uint64)) if parts \
+        else np.empty(0, dtype=np.uint64)
+    ref = ray.put(bench)
+
+    def corpus_hits(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64()).to_numpy()
+        return tx.contamination_batch(
+            t.filter(pa.array(ids % tx.DECON_MOD != 0)), ref)
+
+    return ds.map_batches(corpus_hits, batch_format="pyarrow")
+
+
+def q_segment_dedup(sf_dir: str):
+    """C4-style global line dedup over the injected corpus: explode
+    docs into 8-word segments, keep each distinct segment's FIRST
+    occurrence corpus-wide (order by doc_id, seg_idx).  One shuffle,
+    keyed by segment hash (64-bit FNV routes; the keep-first compare
+    runs on the actual strings, so hash collisions cannot merge
+    segments); per-bucket resolution is a single vectorized sort."""
+    from ..functions.hashing import hash64
+    from ..stages import text as tx
+
+    n_buckets = _doc_blocks(sf_dir) * 4
+
+    def explode(t: pa.Table) -> pa.Table:
+        s = tx.segment_table(t)
+        b = (hash64(s["segment"]) % np.uint64(n_buckets)).astype(np.int64)
+        return s.append_column("bucket", pa.array(b))
+
+    return (corpus(sf_dir)
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(tx.segment_keep_first, batch_format="pyarrow"))
+
+
+SQL_SEGMENT_DEDUP = f"""WITH {CORPUS_CTE.strip()},
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+segs AS (SELECT doc_id, i - 1 AS seg_idx,
+         array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ') AS segment
+         FROM w, LATERAL (SELECT unnest(generate_series(1,
+              CAST(ceil(len(ws)/8.0) AS BIGINT))) AS i) t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+       segment
+FROM segs QUALIFY row_number() OVER (PARTITION BY segment
+                                     ORDER BY doc_id, seg_idx) = 1
+"""
+
+
+SQL_DECONTAMINATE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS g4
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) t),
+bench AS (SELECT DISTINCT g4 FROM g WHERE doc_id % 19 = 0),
+hits AS (SELECT g.doc_id, count(DISTINCT g.g4) AS n_hits
+         FROM g JOIN bench USING (g4)
+         WHERE g.doc_id % 19 <> 0 GROUP BY g.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_hits AS BIGINT) AS n_hits
+FROM hits
+"""
+
+
 SQL_EMB_CENTROIDS = """
 WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
                   unnest(embedding) AS v
@@ -625,3 +710,5 @@ register("knn_pq_topk", q_knn_pq, None)
 register("emb_near_dups", q_emb_near_dups, None)
 register("dedup_keep_best", q_dedup_keep_best, SQL_DEDUP_KEEP_BEST)
 register("emb_centroid_sums", q_emb_centroid_sums, SQL_EMB_CENTROIDS)
+register("text_decontaminate", q_decontaminate, SQL_DECONTAMINATE)
+register("text_segment_dedup", q_segment_dedup, SQL_SEGMENT_DEDUP)

@@ -125,3 +125,62 @@ def explode_spans(batch: pa.Table) -> pa.Table:
             "media_ref": flat.field("media_ref"),
         }
     )
+
+
+def captions_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → one row per MEDIA span, captioned with the
+    nearest preceding non-null text span in the same document:
+    (doc_id, media_offset, media_ref, caption).
+
+    The caption relation is the core interleaved-payload operation a
+    multimodal training pipeline runs over this table (image→alt-text
+    pairing); it is evaluated entirely WITHIN each document row — the
+    spans list already co-locates a doc's stream — so the stage is a
+    pure map_batches with no shuffle at any scale.
+
+    Vectorized: one forward ``np.maximum.accumulate`` over the batch's
+    flattened span stream carries the index of the last valid text
+    span; a media span whose carried index falls before its own doc's
+    start has no caption (null), which also makes the fill reset at
+    every document boundary without a per-doc loop.
+    """
+    spans = batch["spans"].combine_chunks()
+    flat = spans.flatten()
+    counts = np.asarray(spans.value_lengths(), dtype=np.int64)
+    n = len(flat)
+    if n == 0:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "media_offset": pa.array([], pa.int64()),
+                         "media_ref": pa.array([], pa.string()),
+                         "caption": pa.array([], pa.string())})
+
+    kind = flat.field("kind")
+    text = flat.field("text")
+    is_media = pa.compute.equal(kind, "media").to_numpy(zero_copy_only=False)
+    is_text = pa.compute.and_(
+        pa.compute.equal(kind, "text"),
+        pa.compute.is_valid(text)).to_numpy(zero_copy_only=False)
+
+    idx = np.arange(n, dtype=np.int64)
+    last_text = np.where(is_text, idx, np.int64(-1))
+    np.maximum.accumulate(last_text, out=last_text)
+
+    doc_start = np.repeat(np.cumsum(counts) - counts, counts)
+    media_pos = np.nonzero(is_media)[0]
+    cap_idx = last_text[media_pos]
+    has_cap = cap_idx >= doc_start[media_pos]
+
+    caption = text.take(pa.array(np.where(has_cap, cap_idx, 0)))
+    caption = pa.compute.if_else(pa.array(has_cap), caption,
+                                 pa.scalar(None, pa.string()))
+    doc_of = np.repeat(np.arange(len(counts)), counts)[media_pos]
+    doc_id = pa.array(
+        batch["doc_id"].to_numpy(zero_copy_only=False)[doc_of],
+        type=pa.string())
+    return pa.table({
+        "doc_id": doc_id,
+        "media_offset": flat.field("offset").take(
+            pa.array(media_pos)).cast(pa.int64()),
+        "media_ref": flat.field("media_ref").take(pa.array(media_pos)),
+        "caption": caption,
+    })

@@ -199,3 +199,127 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
     lowered = pc.utf8_lower(t["text"])
     fp = pa.array(md5_hex(lowered.to_pylist()), pa.string())
     return pa.table({"doc_id": t["doc_id"].cast(pa.int64()), "fp": fp})
+
+
+# ------------------------------------------------ benchmark decontamination
+DECON_N = 4          # word n-gram length matched against the benchmark
+DECON_MOD = 19       # doc_id % DECON_MOD == 0 → the "benchmark" subset
+
+
+def word_gram_hashes(t: pa.Table, n: int = DECON_N) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, gram_hash) for every word n-gram in the batch's
+    ``text`` column — the unit of benchmark decontamination (Brown et
+    al. 2020 App. C / GPT-3-style n-gram overlap).  Vectorized: one
+    split over the column, one FNV pass over the flat word array, then
+    n Horner passes combine consecutive word hashes; grams straddling a
+    row boundary are masked by comparing row index at both gram ends."""
+    from ..functions.hashing import hash64
+
+    words = pc.split_pattern(t["text"], pattern=" ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    counts = np.asarray(words.value_lengths(), dtype=np.int64)
+    wh = hash64(flat)
+    m = len(wh) - n + 1
+    if m <= 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    h = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            h = h * _WB + wh[j:j + m]
+    row_of = np.repeat(np.arange(len(counts)), counts)
+    valid = row_of[:m] == row_of[n - 1:n - 1 + m]
+    return row_of[:m][valid], h[valid]
+
+
+def gram_hash_table(t: pa.Table, n: int = DECON_N) -> pa.Table:
+    """Batch → distinct gram hashes (benchmark-side extraction)."""
+    _, h = word_gram_hashes(t, n)
+    return pa.table({"gram": pa.array(np.unique(h).astype(np.int64))})
+
+
+def contamination_batch(t: pa.Table, bench_ref, n: int = DECON_N) -> pa.Table:
+    """Corpus batch → (doc_id, n_hits) for docs sharing ≥1 distinct
+    n-gram with the broadcast benchmark gram set (sorted uint64 array
+    in the object store — read zero-copy per task, never reshipped)."""
+    import ray
+
+    bench = ray.get(bench_ref)
+    row_of, h = word_gram_hashes(t, n)
+    # distinct (row, gram) pairs — contamination counts distinct grams
+    order = np.lexsort((h, row_of))
+    r_s, h_s = row_of[order], h[order]
+    first = np.empty(len(r_s), dtype=bool)
+    if len(first):
+        first[0] = True
+        first[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])
+    r_u, h_u = r_s[first], h_s[first]
+    pos = np.searchsorted(bench, h_u)
+    hit = (pos < len(bench)) & (bench[np.minimum(pos, len(bench) - 1)] == h_u)
+    n_hits = np.bincount(r_u[hit], minlength=t.num_rows).astype(np.int64)
+    doc_ids = t["doc_id"].cast(pa.int64()).to_numpy()
+    keep = n_hits > 0
+    return pa.table({"doc_id": pa.array(doc_ids[keep]),
+                     "n_hits": pa.array(n_hits[keep])})
+
+
+# ----------------------------------------------------- segment (line) dedup
+SEG_W = 8            # words per segment — the "line" unit of C4-style dedup
+
+
+def segment_table(t: pa.Table, seg_w: int = SEG_W) -> pa.Table:
+    """Batch → one row per ``seg_w``-word segment: (doc_id, seg_idx,
+    segment) — the explode half of C4-style global line dedup (the
+    corpus here is single-line word streams, so fixed-width word
+    windows stand in for newline-delimited lines).
+
+    Vectorized: one split over the column, then the segment list array
+    is built directly over the flat word values with computed offsets
+    (consecutive segments tile the flat array exactly), and
+    ``pc.binary_join`` re-joins every segment in one kernel — no
+    per-row Python."""
+    words = pc.split_pattern(t["text"], pattern=" ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    counts = np.asarray(words.value_lengths(), dtype=np.int64)
+    n_segs = (counts + seg_w - 1) // seg_w
+    total = int(n_segs.sum())
+    if total == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "seg_idx": pa.array([], pa.int64()),
+                         "segment": pa.array([], pa.string())})
+    row_of = np.repeat(np.arange(len(counts)), n_segs)
+    seg_idx = np.arange(total, dtype=np.int64) - \
+        np.repeat(np.cumsum(n_segs) - n_segs, n_segs)
+    word_start = np.cumsum(counts) - counts
+    abs_start = word_start[row_of] + seg_idx * seg_w
+    offsets = np.append(abs_start, counts.sum()).astype(np.int32)
+    seg = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), flat), " ")
+    return pa.table({
+        "doc_id": pa.array(t["doc_id"].cast(pa.int64()).to_numpy()[row_of]),
+        "seg_idx": pa.array(seg_idx),
+        "segment": seg,
+    })
+
+
+def segment_keep_first(g: pa.Table) -> pa.Table:
+    """One hash bucket of segments → global first occurrence per exact
+    segment string (order: doc_id, then seg_idx).  Comparison is on
+    the STRING, not its hash — the bucket key only routes; collisions
+    cannot merge distinct segments."""
+    if "bucket" in g.column_names:
+        g = g.drop_columns(["bucket"])
+    idx = pc.sort_indices(g, sort_keys=[
+        ("segment", "ascending"), ("doc_id", "ascending"),
+        ("seg_idx", "ascending")])
+    s = g.take(idx)
+    n = s.num_rows
+    if n == 0:
+        return s
+    seg = s["segment"].combine_chunks()
+    neq = pc.invert(pc.equal(seg.slice(1), seg.slice(0, n - 1)))
+    first = pa.concat_arrays([pa.array([True]), neq.fill_null(True)])
+    return s.filter(first)

@@ -308,3 +308,46 @@ def test_expand_batch_day_window_offsets_and_priority():
     prio = out["priority"].to_numpy()
     assert prio.tolist() == [21.0, 22.0, 23.0, 24.0, 25.0, 26.0]
     assert all("2026-01-0" in u for u in out["url"].to_pylist())
+
+
+def test_captions_batch_fixture():
+    """Hand-built interleaved docs: forward fill, per-doc reset,
+    media-before-any-text → null, null text spans skipped."""
+    import pyarrow as pa
+
+    from __spider_ray.schemas import SPAN
+    from __spider_ray.stages.spans import captions_batch
+
+    def span(kind, text=None, ref=None, off=0):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    docs = pa.table({
+        "doc_id": pa.array(["d0", "d1", "d2"], pa.string()),
+        "spans": pa.array([
+            # d0: text A, media m0 (→A), null-text span, media m1 (→A)
+            [span("text", "A", off=0), span("media", ref="m0", off=1),
+             span("text", None, off=2), span("media", ref="m1", off=3)],
+            # d1: media first (no caption), then text B, media m2 (→B)
+            [span("media", ref="m2", off=0), span("text", "B", off=1),
+             span("media", ref="m3", off=2)],
+            # d2: text only — contributes no rows, must not leak into d1/d0
+            [span("text", "C", off=0)],
+        ], pa.list_(SPAN)),
+    })
+    out = captions_batch(docs).to_pylist()
+    got = {(r["doc_id"], r["media_ref"]): r["caption"] for r in out}
+    assert got == {("d0", "m0"): "A", ("d0", "m1"): "A",
+                   ("d1", "m2"): None, ("d1", "m3"): "B"}
+    offs = [(r["doc_id"], r["media_offset"]) for r in out]
+    assert offs == [("d0", 1), ("d0", 3), ("d1", 0), ("d1", 2)]
+
+
+def test_captions_batch_empty():
+    import pyarrow as pa
+
+    from __spider_ray.schemas import SPAN
+    from __spider_ray.stages.spans import captions_batch
+
+    empty = pa.table({"doc_id": pa.array([], pa.string()),
+                      "spans": pa.array([], pa.list_(SPAN))})
+    assert captions_batch(empty).num_rows == 0

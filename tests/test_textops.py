@@ -378,3 +378,60 @@ def test_pq_topk_recall_vs_brute():
     got = {(int(q), int(v)) for q, v in zip(pq_["query_id"], pq_["vec_id"])}
     recall = len(want & got) / len(want)
     assert recall >= 0.9, recall
+
+
+def test_word_gram_hashes_boundaries():
+    """Grams never straddle rows; counts per row = max(words-n+1, 0)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from __spider_ray.stages import text as tx
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b c d e", "x y", "p q r s"])})
+    row_of, h = tx.word_gram_hashes(t, n=4)
+    assert np.bincount(row_of, minlength=3).tolist() == [2, 0, 1]
+    # same gram text in different rows hashes identically
+    t2 = pa.table({"doc_id": pa.array([9], pa.int64()),
+                   "text": pa.array(["b c d e"])})
+    _, h2 = tx.word_gram_hashes(t2, n=4)
+    assert h2[0] == h[1]
+    assert len(set(h.tolist())) == len(h)     # distinct grams, distinct hashes
+
+
+def test_contamination_batch_counts_distinct_hits():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from __spider_ray.stages import text as tx
+
+    bench_doc = pa.table({"doc_id": pa.array([0], pa.int64()),
+                          "text": pa.array(["w1 w2 w3 w4 w5"])})
+    _, bh = tx.word_gram_hashes(bench_doc, n=4)     # 2 benchmark grams
+    ref = ray.put(np.unique(bh))
+    corpus = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        # 10: both grams, one twice → n_hits=2 (distinct); 11: one; 12: none
+        "text": pa.array(["w1 w2 w3 w4 w5 z w1 w2 w3 w4",
+                          "a w2 w3 w4 w5 b",
+                          "q r s t u v"])})
+    out = tx.contamination_batch(corpus, ref, n=4).to_pylist()
+    assert {(r["doc_id"], r["n_hits"]) for r in out} == {(10, 2), (11, 1)}
+
+
+def test_segment_table_and_keep_first():
+    import pyarrow as pa
+
+    from __spider_ray.stages import text as tx
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a b c d e f g h i j",   # 2 segments
+                                    "a b c d e f g h"])})    # dup of seg 0
+    s = tx.segment_table(t, seg_w=8)
+    rows = s.to_pylist()
+    assert [(r["doc_id"], r["seg_idx"], r["segment"]) for r in rows] == [
+        (1, 0, "a b c d e f g h"), (1, 1, "i j"),
+        (2, 0, "a b c d e f g h")]
+    kept = tx.segment_keep_first(s).to_pylist()
+    assert {(r["doc_id"], r["seg_idx"]) for r in kept} == {(1, 0), (1, 1)}
