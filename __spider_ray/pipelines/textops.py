@@ -593,6 +593,26 @@ def q_emb_centroid_sums(sf_dir: str):
               .map_groups(reduce_group, batch_format="pyarrow"))
 
 
+def q_approx_distinct(sf_dir: str):
+    """Grouped APPROX COUNT DISTINCT via HyperLogLog: distinct users
+    per event type, estimated from mergeable 4 KiB register sketches
+    instead of shuffling (group, value) pairs — per-batch partials via
+    one np.maximum.at scatter, then a groupby(key) max-merge.  Rows
+    only (an estimator can't hash-match SQL); tests pin the estimate
+    within the sketch's error bound against exact counts at both the
+    linear-counting and the high-cardinality regime."""
+    from ..stages import sketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return (ds.map_batches(
+                lambda t: sketch.hll_partial_batch(t, "event_type", "user_id"),
+                batch_format="pyarrow")
+              .groupby("event_type")
+              .map_groups(lambda g: sketch.hll_merge_group(g, "event_type"),
+                          batch_format="pyarrow"))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (GPT-3 App. C style n-gram overlap):
     flag every corpus doc sharing ≥1 distinct word 4-gram with the
@@ -712,3 +732,4 @@ register("dedup_keep_best", q_dedup_keep_best, SQL_DEDUP_KEEP_BEST)
 register("emb_centroid_sums", q_emb_centroid_sums, SQL_EMB_CENTROIDS)
 register("text_decontaminate", q_decontaminate, SQL_DECONTAMINATE)
 register("text_segment_dedup", q_segment_dedup, SQL_SEGMENT_DEDUP)
+register("agg_approx_distinct", q_approx_distinct, None)

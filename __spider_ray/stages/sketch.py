@@ -1,0 +1,109 @@
+"""Mergeable cardinality sketches — HyperLogLog grouped APPROX
+COUNT DISTINCT as a Ray Data aggregation.
+
+At 100 TB an exact grouped COUNT(DISTINCT ...) shuffles every distinct
+(group, value) pair; the HLL shape ships 4 KiB of registers per
+(block × group) instead, merges them with a max, and never moves a
+value.  This is THE cardinality primitive for corpus accounting
+(distinct users per event type, distinct URLs per host, distinct docs
+per shard) where a ±2% answer at 0.003% of the shuffle cost is the
+right trade.
+
+Classic dense HLL (Flajolet et al. 2007): p index bits → m = 2^p
+registers, register j keeps the max leading-zero rank among hashes
+routed to j; estimate = alpha_m * m^2 / Σ 2^-M with linear-counting
+small-range correction.  Registers are commutative-monoid state
+(elementwise max), so partials from any partitioning merge exactly —
+the per-batch partial is computed with ONE np.maximum.at scatter, no
+Python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import hash64, hash64_ints
+
+HLL_P = 12                       # 4096 registers → ~1.04/sqrt(m) = 1.6% rse
+HLL_M = 1 << HLL_P
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def _ranks(h: np.ndarray, p: int = HLL_P) -> tuple[np.ndarray, np.ndarray]:
+    """hash → (register index, rank = leading-zeros-of-tail + 1).
+
+    The 64-p tail bits fit float64 exactly for p ≥ 12 (≤ 52 bits), so
+    the bit length comes from one vectorized ``np.frexp`` — no loop.
+    """
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    tail = (h & np.uint64((1 << (64 - p)) - 1)).astype(np.float64)
+    _, exp = np.frexp(tail)                       # tail = m * 2^exp
+    rank = np.where(tail == 0, 64 - p + 1, 64 - p - exp + 1).astype(np.uint8)
+    return idx, rank
+
+
+def hll_partial_batch(t: pa.Table, key_col: str, val_col: str,
+                      p: int = HLL_P) -> pa.Table:
+    """Batch → one row per group key: (key, regs:binary of 2^p bytes).
+
+    Values are hashed vectorized (splitmix64 for ints, FNV for
+    strings); all groups' registers update through a single
+    ``np.maximum.at`` scatter into a (n_keys, m) array.
+    """
+    m = 1 << p
+    keys = t[key_col]
+    vals = t[val_col]
+    if pa.types.is_integer(vals.type):
+        h = hash64_ints(vals.cast(pa.int64()).to_numpy())
+    else:
+        h = hash64(vals)
+    codes, uniq = _dictionary_codes(keys)
+    idx, rank = _ranks(h, p)
+    regs = np.zeros((len(uniq), m), dtype=np.uint8)
+    np.maximum.at(regs, (codes, idx), rank)
+    return pa.table({
+        key_col: uniq,
+        "regs": pa.array([regs[i].tobytes() for i in range(len(uniq))],
+                         pa.binary()),
+    })
+
+
+def _dictionary_codes(arr) -> tuple[np.ndarray, pa.Array]:
+    d = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    enc = d.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    return enc.indices.to_numpy().astype(np.int64), enc.dictionary
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    """Bias-corrected HLL estimate from one register vector."""
+    m = len(regs)
+    r = regs.astype(np.float64)
+    est = _alpha(m) * m * m / np.sum(np.exp2(-r))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def hll_merge_group(g: pa.Table, key_col: str) -> pa.Table:
+    """Groupby-merge stage: rows of one key's partial registers →
+    (key, approx_distinct).  Merge = elementwise max (exact for any
+    partitioning of the input)."""
+    if "bucket" in g.column_names:
+        g = g.drop_columns(["bucket"])
+    bufs = g["regs"].to_pylist()
+    regs = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(len(bufs), -1)
+    merged = regs.max(axis=0)
+    return pa.table({
+        key_col: g[key_col][:1],
+        "approx_distinct": pa.array([hll_estimate(merged)], pa.int64()),
+    })

@@ -435,3 +435,68 @@ def test_segment_table_and_keep_first():
         (2, 0, "a b c d e f g h")]
     kept = tx.segment_keep_first(s).to_pylist()
     assert {(r["doc_id"], r["seg_idx"]) for r in kept} == {(1, 0), (1, 1)}
+
+
+def test_hll_estimate_regimes():
+    """Error bound in both regimes: linear counting (n << m) is
+    near-exact; the raw estimator at n >> m stays within 3 standard
+    errors (3 * 1.04 / sqrt(4096) ≈ 4.9%)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from __spider_ray.stages import sketch
+
+    for n, tol in [(150, 0.02), (3000, 0.03), (200_000, 0.049)]:
+        t = pa.table({"k": pa.array(["g"] * n),
+                      "v": pa.array(np.arange(n, dtype=np.int64))})
+        out = sketch.hll_partial_batch(t, "k", "v")
+        regs = np.frombuffer(out["regs"][0].as_py(), dtype=np.uint8)
+        est = sketch.hll_estimate(regs)
+        assert abs(est - n) <= tol * n, (n, est)
+
+
+def test_hll_partials_merge_exactly():
+    """Any partitioning merges to the identical register vector —
+    the monoid property the groupby-merge relies on."""
+    import numpy as np
+    import pyarrow as pa
+
+    from __spider_ray.stages import sketch
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 5000, size=20_000).astype(np.int64)
+    keys = np.where(vals % 2 == 0, "a", "b").astype(object)
+    full = sketch.hll_partial_batch(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals)}), "k", "v")
+    full_regs = {full["k"][i].as_py():
+                 np.frombuffer(full["regs"][i].as_py(), dtype=np.uint8)
+                 for i in range(full.num_rows)}
+
+    parts = []
+    for lo in range(0, len(vals), 3333):
+        parts.append(sketch.hll_partial_batch(
+            pa.table({"k": pa.array(keys[lo:lo + 3333]),
+                      "v": pa.array(vals[lo:lo + 3333])}), "k", "v"))
+    merged_tbl = pa.concat_tables(parts)
+    for key in ("a", "b"):
+        rows = [i for i in range(merged_tbl.num_rows)
+                if merged_tbl["k"][i].as_py() == key]
+        regs = np.stack([np.frombuffer(merged_tbl["regs"][i].as_py(),
+                                       dtype=np.uint8) for i in rows])
+        assert np.array_equal(regs.max(axis=0), full_regs[key])
+
+
+def test_hll_query_vs_exact(ray_session):
+    import duckdb
+
+    from __spider_ray.pipelines.textops import q_approx_distinct
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r["approx_distinct"]
+           for r in q_approx_distinct(sf).to_pandas().to_dict("records")}
+    exact = dict(duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) FROM "
+        f"read_parquet('{sf}/events.parquet') GROUP BY 1").fetchall())
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(2, 0.02 * n), (k, got[k], n)
