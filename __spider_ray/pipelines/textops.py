@@ -593,6 +593,32 @@ def q_emb_centroid_sums(sf_dir: str):
               .map_groups(reduce_group, batch_format="pyarrow"))
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): per
+    doc, total word 2-grams, occurrences beyond each distinct 2-gram's
+    first, and the most-repeated 2-gram's count — integer-exact so the
+    oracle hashes match.  Shuffle-free map_batches; the per-doc stats
+    come from one (row, gram-hash) lexsort per batch."""
+    from ..stages import text as tx
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(tx.repetition_batch, batch_format="pyarrow")
+
+
+SQL_REPETITION = """
+WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g2
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) t),
+c AS (SELECT doc_id, g2, count(*) AS cnt FROM g GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n2,
+       CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup2,
+       CAST(MAX(cnt) AS BIGINT) AS top2
+FROM c GROUP BY doc_id
+"""
+
+
 def q_approx_distinct(sf_dir: str):
     """Grouped APPROX COUNT DISTINCT via HyperLogLog: distinct users
     per event type, estimated from mergeable 4 KiB register sketches
@@ -733,3 +759,4 @@ register("emb_centroid_sums", q_emb_centroid_sums, SQL_EMB_CENTROIDS)
 register("text_decontaminate", q_decontaminate, SQL_DECONTAMINATE)
 register("text_segment_dedup", q_segment_dedup, SQL_SEGMENT_DEDUP)
 register("agg_approx_distinct", q_approx_distinct, None)
+register("text_repetition", q_repetition, SQL_REPETITION)

@@ -323,3 +323,40 @@ def segment_keep_first(g: pa.Table) -> pa.Table:
     neq = pc.invert(pc.equal(seg.slice(1), seg.slice(0, n - 1)))
     first = pa.concat_arrays([pa.array([True]), neq.fill_null(True)])
     return s.filter(first)
+
+
+def repetition_batch(t: pa.Table, n: int = 2) -> pa.Table:
+    """Gopher-style repetition signals per doc (Rae et al. 2021 §A1.1):
+    n2 = total word 2-grams, dup2 = occurrences beyond each distinct
+    2-gram's first, top2 = the most repeated single 2-gram's count.
+    High dup2/n2 or top2/n2 marks boilerplate/spam for a filter chain.
+
+    One vectorized pass: the shared ``word_gram_hashes`` explode, then
+    run-length stats over a single (row, hash) lexsort — no per-doc
+    Python.  Docs with fewer than n words emit no row (no grams)."""
+    row_of, h = word_gram_hashes(t, n)
+    doc_ids = t["doc_id"].cast(pa.int64()).to_numpy()
+    if len(row_of) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n2": pa.array([], pa.int64()),
+                         "dup2": pa.array([], pa.int64()),
+                         "top2": pa.array([], pa.int64())})
+    order = np.lexsort((h, row_of))
+    r_s, h_s = row_of[order], h[order]
+    new_run = np.empty(len(r_s), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])
+    run_id = np.cumsum(new_run) - 1
+    run_len = np.bincount(run_id)
+    run_row = r_s[new_run]
+
+    n_rows = t.num_rows
+    n2 = np.bincount(row_of, minlength=n_rows).astype(np.int64)
+    distinct = np.bincount(run_row, minlength=n_rows).astype(np.int64)
+    top2 = np.zeros(n_rows, dtype=np.int64)
+    np.maximum.at(top2, run_row, run_len)
+    keep = n2 > 0
+    return pa.table({"doc_id": pa.array(doc_ids[keep]),
+                     "n2": pa.array(n2[keep]),
+                     "dup2": pa.array((n2 - distinct)[keep]),
+                     "top2": pa.array(top2[keep])})

@@ -500,3 +500,19 @@ def test_hll_query_vs_exact(ray_session):
     assert set(got) == set(exact)
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(2, 0.02 * n), (k, got[k], n)
+
+
+def test_repetition_batch_fixture():
+    import pyarrow as pa
+
+    from __spider_ray.stages import text as tx
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  # "a b" x3, "b a" x2, "b c" x1 → n2=6, distinct=3, top=3
+                  "text": pa.array(["a b a b a b c",
+                                    "x y z",          # all distinct
+                                    "solo"])})        # <2 words → no row
+    out = {r["doc_id"]: r for r in tx.repetition_batch(t).to_pylist()}
+    assert set(out) == {1, 2}
+    assert (out[1]["n2"], out[1]["dup2"], out[1]["top2"]) == (6, 3, 3)
+    assert (out[2]["n2"], out[2]["dup2"], out[2]["top2"]) == (2, 0, 1)
