@@ -593,6 +593,53 @@ def q_emb_centroid_sums(sf_dir: str):
               .map_groups(reduce_group, batch_format="pyarrow"))
 
 
+def q_pack_sequences(sf_dir: str):
+    """Greedy next-fit sequence packing (the final stage of an LLM
+    training-data pipeline): docs concatenated into 160-token-budget
+    sequences without splitting a doc, packed independently per
+    ``source`` shard in doc_id order — the documented partitioning
+    assumption a sharded sequence-writer makes at 100 TB.  Per shard
+    the pack costs one np.searchsorted per EMITTED SEQUENCE (not per
+    doc).  Oracled against a DuckDB recursive CTE."""
+    from ..stages import pack
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(t["text"], pattern=" "))
+        return pa.table({"source": t["source"],
+                         "doc_id": t["doc_id"].cast(pa.int64()),
+                         "tok_n": n.cast(pa.int64())})
+
+    return (ds.map_batches(tok_counts, batch_format="pyarrow")
+              .groupby("source")
+              .map_groups(pack.pack_group, batch_format="pyarrow"))
+
+
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE w AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+p AS (
+  SELECT source, doc_id, tok_n, rn,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_pos,
+         CAST(0 AS BIGINT) AS tok_offset, tok_n AS used
+  FROM w WHERE rn = 1
+  UNION ALL
+  SELECT w.source, w.doc_id, w.tok_n, w.rn,
+         CASE WHEN p.used + w.tok_n > 160 THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.used + w.tok_n > 160 THEN 0 ELSE p.seq_pos + 1 END,
+         CASE WHEN p.used + w.tok_n > 160 THEN 0 ELSE p.used END,
+         CASE WHEN p.used + w.tok_n > 160 THEN w.tok_n ELSE p.used + w.tok_n END
+  FROM w JOIN p ON w.source = p.source AND w.rn = p.rn + 1
+)
+SELECT source, doc_id, tok_n, seq_id, seq_pos, tok_offset FROM p
+"""
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1): per
     doc, total word 2-grams, occurrences beyond each distinct 2-gram's
@@ -760,3 +807,4 @@ register("text_decontaminate", q_decontaminate, SQL_DECONTAMINATE)
 register("text_segment_dedup", q_segment_dedup, SQL_SEGMENT_DEDUP)
 register("agg_approx_distinct", q_approx_distinct, None)
 register("text_repetition", q_repetition, SQL_REPETITION)
+register("text_pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES)

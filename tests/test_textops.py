@@ -516,3 +516,33 @@ def test_repetition_batch_fixture():
     assert set(out) == {1, 2}
     assert (out[1]["n2"], out[1]["dup2"], out[1]["top2"]) == (6, 3, 3)
     assert (out[2]["n2"], out[2]["dup2"], out[2]["top2"]) == (2, 0, 1)
+
+
+def test_pack_group_matches_naive_and_invariants():
+    """searchsorted pack == per-doc next-fit reference, under a mix of
+    tiny, exact-fit, and over-budget docs (hypothesis-style sweep)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from __spider_ray.stages import pack
+
+    rng = np.random.RandomState(3)
+    for trial in range(25):
+        toks = rng.choice([1, 5, 40, 80, 160, 161, 200],
+                          size=rng.randint(1, 60)).astype(np.int64)
+        g = pa.table({"source": pa.array(["s"] * len(toks)),
+                      "doc_id": pa.array(np.arange(len(toks), dtype=np.int64)),
+                      "tok_n": pa.array(toks)})
+        out = pack.pack_group(g, budget=160)
+        assert out["seq_id"].to_pylist() == pack.pack_naive(list(toks), 160)
+        # invariants: within-budget unless singleton; offsets are cumsums
+        seq = np.array(out["seq_id"].to_pylist())
+        tok = np.array(out["tok_n"].to_pylist())
+        off = np.array(out["tok_offset"].to_pylist())
+        pos = np.array(out["seq_pos"].to_pylist())
+        for s in np.unique(seq):
+            m = seq == s
+            total = tok[m].sum()
+            assert total <= 160 or m.sum() == 1
+            assert (off[m] == np.cumsum(tok[m]) - tok[m]).all()
+            assert (pos[m] == np.arange(m.sum())).all()
