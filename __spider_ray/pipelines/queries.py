@@ -564,6 +564,13 @@ def _ensure_builtin() -> None:
     register("crawl_min_price", _crawl_min_price, _CRAWL_SQL["crawl_min_price"])
     register("crawl_dead_letter", _crawl_dead_letter, _CRAWL_SQL["crawl_dead_letter"])
     register("media_captions", _media_captions, _CRAWL_SQL["media_captions"])
+
+    def _city_pagerank(sf_dir: str):
+        from .graph import q_city_pagerank
+        return q_city_pagerank(sf_dir)
+
+    from .graph import pagerank_sql
+    register("graph_city_pagerank", _city_pagerank, pagerank_sql())
     register("crawl_robots_deny", _crawl_robots_deny, _CRAWL_SQL["crawl_robots_deny"])
     media_sql = f"""{osql.CRAWL_SPANS},
 media AS (
