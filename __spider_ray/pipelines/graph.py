@@ -89,7 +89,8 @@ def q_city_pagerank(sf_dir: str, iters: int = PR_ITERS):
     edges_deg = hash_join(edges, deg, on=["u"], n_buckets=8).map_batches(
         lambda t: pa.table({"node": t["u"], "v": t["v"],
                             "outdeg": t["outdeg"]}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()   # loop-invariant: join once,
+    #                                             not once per iteration
 
     def both_ends(t: pa.Table) -> pa.Table:
         return pa.table({"node": pa.concat_arrays(

@@ -617,7 +617,9 @@ def q_pack_sequences(sf_dir: str):
               .map_groups(pack.pack_group, batch_format="pyarrow"))
 
 
-SQL_PACK_SEQUENCES = """
+from ..stages.pack import PACK_BUDGET as _PACK_B
+
+SQL_PACK_SEQUENCES = f"""
 WITH RECURSIVE w AS (
   SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_n,
@@ -630,10 +632,10 @@ p AS (
   FROM w WHERE rn = 1
   UNION ALL
   SELECT w.source, w.doc_id, w.tok_n, w.rn,
-         CASE WHEN p.used + w.tok_n > 160 THEN p.seq_id + 1 ELSE p.seq_id END,
-         CASE WHEN p.used + w.tok_n > 160 THEN 0 ELSE p.seq_pos + 1 END,
-         CASE WHEN p.used + w.tok_n > 160 THEN 0 ELSE p.used END,
-         CASE WHEN p.used + w.tok_n > 160 THEN w.tok_n ELSE p.used + w.tok_n END
+         CASE WHEN p.used + w.tok_n > {_PACK_B} THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.used + w.tok_n > {_PACK_B} THEN 0 ELSE p.seq_pos + 1 END,
+         CASE WHEN p.used + w.tok_n > {_PACK_B} THEN 0 ELSE p.used END,
+         CASE WHEN p.used + w.tok_n > {_PACK_B} THEN w.tok_n ELSE p.used + w.tok_n END
   FROM w JOIN p ON w.source = p.source AND w.rn = p.rn + 1
 )
 SELECT source, doc_id, tok_n, seq_id, seq_pos, tok_offset FROM p
@@ -748,9 +750,9 @@ def q_segment_dedup(sf_dir: str):
 SQL_SEGMENT_DEDUP = f"""WITH {CORPUS_CTE.strip()},
 w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
 segs AS (SELECT doc_id, i - 1 AS seg_idx,
-         array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ') AS segment
+         array_to_string(ws[(i-1)*{tx.SEG_W}+1:(i-1)*{tx.SEG_W}+{tx.SEG_W}], ' ') AS segment
          FROM w, LATERAL (SELECT unnest(generate_series(1,
-              CAST(ceil(len(ws)/8.0) AS BIGINT))) AS i) t)
+              CAST(ceil(len(ws)/{tx.SEG_W}.0) AS BIGINT))) AS i) t)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
        segment
 FROM segs QUALIFY row_number() OVER (PARTITION BY segment
@@ -758,14 +760,14 @@ FROM segs QUALIFY row_number() OVER (PARTITION BY segment
 """
 
 
-SQL_DECONTAMINATE = """
+SQL_DECONTAMINATE = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-g AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS g4
-      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) t),
-bench AS (SELECT DISTINCT g4 FROM g WHERE doc_id % 19 = 0),
+g AS (SELECT doc_id, array_to_string(ws[i:i+{tx.DECON_N - 1}], ' ') AS g4
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - {tx.DECON_N - 1})) AS i) t),
+bench AS (SELECT DISTINCT g4 FROM g WHERE doc_id % {tx.DECON_MOD} = 0),
 hits AS (SELECT g.doc_id, count(DISTINCT g.g4) AS n_hits
          FROM g JOIN bench USING (g4)
-         WHERE g.doc_id % 19 <> 0 GROUP BY g.doc_id)
+         WHERE g.doc_id % {tx.DECON_MOD} <> 0 GROUP BY g.doc_id)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_hits AS BIGINT) AS n_hits
 FROM hits
 """

@@ -355,8 +355,11 @@ def phash64(img: np.ndarray, basis: np.ndarray | None = None) -> int:
     """64-bit perceptual hash of an (h, w, 3) uint8 image."""
     d = _dct_basis() if basis is None else basis
     gray = img.astype(np.float64).mean(axis=2)
-    small = resize_nearest(gray[:, :, None].repeat(3, axis=2),
-                           PHASH_SIDE, PHASH_SIDE).astype(np.float64).mean(axis=2)
+    # same index gather as resize_nearest, on the 2-D gray plane directly
+    h, w = gray.shape
+    ys = (np.arange(PHASH_SIDE) * h) // PHASH_SIDE
+    xs = (np.arange(PHASH_SIDE) * w) // PHASH_SIDE
+    small = gray[ys][:, xs]
     coeff = d @ small @ d.T
     block = coeff[:PHASH_KEEP, :PHASH_KEEP].reshape(-1)
     med = np.median(block[1:])                 # DC excluded from the median

@@ -246,6 +246,9 @@ def contamination_batch(t: pa.Table, bench_ref, n: int = DECON_N) -> pa.Table:
     import ray
 
     bench = ray.get(bench_ref)
+    if len(bench) == 0:            # empty benchmark → nothing contaminates
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_hits": pa.array([], pa.int64())})
     row_of, h = word_gram_hashes(t, n)
     # distinct (row, gram) pairs — contamination counts distinct grams
     order = np.lexsort((h, row_of))
