@@ -53,7 +53,7 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     Output columns: join keys + left non-key columns + right non-key
     columns (caller must ensure non-key names don't collide).
-    ``how``: 'inner', 'left', 'semi' or 'anti'.
+    ``how``: 'inner', 'left', 'outer' (full) , 'semi' or 'anti'.
 
     'semi' keeps each left row with ≥1 right match (no expansion, no
     right columns); 'anti' keeps left rows with NO match — SQL ``NOT
@@ -62,7 +62,7 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     only (key, left-row) — the right side ships keys alone, so a
     corpus-scale filter table never broadcasts (VERDICT r2 weak #2).
     """
-    assert how in ("inner", "left", "semi", "anti")
+    assert how in ("inner", "left", "outer", "semi", "anti")
     if how in ("semi", "anti") and \
             any(c not in on for c in right.schema().names):
         right = right.select_columns(on)
@@ -113,7 +113,7 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
             reps = counts[matched]
             los = lo[matched]
             counts = counts[matched]
-        else:              # left join: keep misses + null-key rows unmatched
+        else:        # left/outer join: keep misses + null-key rows unmatched
             null_l = np.nonzero((side == 0) & null_mask)[0]
             l_sel = np.concatenate([l_idx, null_l])
             counts = np.concatenate(
@@ -142,7 +142,26 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
                           mask=r_rows < 0)
         for c in rcols:
             out[c] = pc.take(g[c].combine_chunks(), rt_idx)
-        return pa.table(out)
+        result = pa.table(out)
+        if how != "outer":
+            return result
+        # FULL OUTER tail: right rows with no left match (plus null-key
+        # right rows) — key/right columns from the right row, left
+        # columns null.  Found with the mirrored searchsorted.
+        l_order = np.argsort(lk, kind="stable")
+        lk_sorted = lk[l_order]
+        r_unmatched = r_idx[np.searchsorted(lk_sorted, rk, side="right")
+                            == np.searchsorted(lk_sorted, rk, side="left")]
+        null_r = np.nonzero((side == 1) & null_mask)[0]
+        extra = np.concatenate([r_unmatched, null_r])
+        if len(extra) == 0:
+            return result
+        et = g.select(on + rcols).take(pa.array(extra))
+        tail: dict[str, pa.Array] = {}
+        for c in on + lcols + rcols:
+            tail[c] = et[c] if c in (on + rcols) \
+                else pa.nulls(len(extra), type=types[c])
+        return pa.concat_tables([result, pa.table(tail)])
 
     return (lp.union(rp)
               .groupby(_BUCKET)

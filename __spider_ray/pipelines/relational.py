@@ -313,6 +313,44 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
 """
 
 
+def q_full_outer_join(sf_dir: str):
+    """FULL OUTER join, distributed — BUILDING-segment customers ⟗
+    per-custkey open-order counts.  Both sides carry unmatched keys
+    (non-BUILDING customers own orders; BUILDING customers may have no
+    open orders), exercising the outer tail of the partitioned
+    hash_join: one all-to-all keyed c_custkey, right-only rows emitted
+    with null left columns from the same bucket pass."""
+    from ..functions.joins import hash_join
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                   .select(["c_custkey", "c_name"]),
+        batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "O"))
+        g = pa.table({"c_custkey": t["o_custkey"]}) \
+              .group_by(["c_custkey"]).aggregate([("c_custkey", "count")])
+        return g.rename_columns(["c_custkey", "n_open"])
+
+    from ray.data.aggregate import Sum
+    open_counts = (orders.map_batches(partial, batch_format="pyarrow")
+                         .groupby("c_custkey")
+                         .aggregate(Sum("n_open", alias_name="n_open")))
+    return hash_join(cust, open_counts, on=["c_custkey"], how="outer")
+
+
+SQL_FULL_OUTER_JOIN = """
+WITH cust AS (SELECT c_custkey, c_name FROM customer
+              WHERE c_mktsegment = 'BUILDING'),
+o AS (SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS n_open
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+SELECT c_custkey, c_name, n_open FROM cust FULL OUTER JOIN o USING (c_custkey)
+"""
+
+
 # ------------------------------------------------------------ event streams
 def q_events_hourly(sf_dir: str):
     """Tumbling window (§2.9): per (event_type, hour) count + value sum."""
@@ -1576,6 +1614,7 @@ register("rel_top_parts", q_top_parts, SQL_TOP_PARTS)
 register("rel_distinct_segments", q_distinct_segments, SQL_DISTINCT_SEGMENTS)
 register("rel_semi_join_customers", q_semi_join_customers, SQL_SEMI_JOIN)
 register("rel_anti_join_customers", q_anti_join_customers, SQL_ANTI_JOIN)
+register("rel_full_outer_join", q_full_outer_join, SQL_FULL_OUTER_JOIN)
 register("rel_events_hourly", q_events_hourly, SQL_EVENTS_HOURLY)
 register("rel_events_sessions", q_events_sessions, SQL_EVENTS_SESSIONS)
 register("rel_events_argmax", q_events_argmax, SQL_EVENTS_ARGMAX)

@@ -32,9 +32,10 @@ def _check(how):
     got = hash_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
                     on=["k1", "k2"], how=how, n_buckets=8).to_pandas()
     want = l.merge(r, on=["k1", "k2"], how=how)
-    if how == "left":
-        want["v_r"] = want["v_r"].astype("object").where(want["v_r"].notna(), "None")
-        got["v_r"] = got["v_r"].astype("object").where(got["v_r"].notna(), "None")
+    if how in ("left", "outer"):
+        for c in (("v_r",) if how == "left" else ("v_l", "v_r")):
+            want[c] = want[c].astype("object").where(want[c].notna(), "None")
+            got[c] = got[c].astype("object").where(got[c].notna(), "None")
     assert len(got) == len(want), (len(got), len(want))
     pd.testing.assert_frame_equal(_norm(got), _norm(want))
 
@@ -45,6 +46,22 @@ def test_hash_join_inner():
 
 def test_hash_join_left():
     _check("left")
+
+
+def test_hash_join_full_outer():
+    _check("outer")
+
+
+def test_hash_join_full_outer_null_keys():
+    # null keys match nothing but BOTH sides' null-key rows survive
+    # a full outer join, each unmatched.
+    l = pd.DataFrame({"k1": ["a", None], "k2": ["1", "1"], "v_l": [10, 20]})
+    r = pd.DataFrame({"k1": ["c", None], "k2": ["1", "1"], "v_r": [100, 200]})
+    got = hash_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                    on=["k1", "k2"], how="outer", n_buckets=4).to_pandas()
+    assert len(got) == 4
+    assert sorted(got[got["v_r"].isna()]["v_l"]) == [10, 20]
+    assert sorted(got[got["v_l"].isna()]["v_r"]) == [100, 200]
 
 
 def test_hash_join_null_keys_sql_semantics():
