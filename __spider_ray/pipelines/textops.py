@@ -688,6 +688,49 @@ def q_approx_distinct(sf_dir: str):
                           batch_format="pyarrow"))
 
 
+CM_PROBE_TOKENS = sorted({w for ws in tx.STOPWORDS.values() for w in ws})
+
+
+def q_cm_token_freq(sf_dir: str):
+    """Token-frequency estimates from a count-min sketch (Cormode &
+    Muthukrishnan 2005): per-batch (d×w) counter partials over the
+    corpus word stream — 64 KiB of monoid state per block instead of
+    the exact groupby(token) shuffle — merged with an elementwise sum,
+    then probed for the fixed stopword battery.  Rows-only (an
+    estimator can't hash-match SQL); tests pin the one-sided error
+    (never under, over ≤ εN) against exact counts."""
+    from ..stages import sketch
+
+    ds = corpus(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        cm = sketch.cm_partial(words.flatten())
+        return pa.table({"k": pa.array([0], pa.int8()),
+                         "cm": pa.array([cm.tobytes()], pa.binary()),
+                         "n": pa.array([len(words.flatten())], pa.int64())})
+
+    def merge_and_probe(g: pa.Table) -> pa.Table:
+        cm = np.zeros((sketch.CM_D, sketch.CM_W), dtype=np.int64)
+        for buf in g["cm"].to_pylist():
+            cm += np.frombuffer(buf, dtype=np.int64).reshape(cm.shape)
+        probes = pa.array(CM_PROBE_TOKENS, pa.string())
+        return pa.table({"token": probes,
+                         "est_n": pa.array(sketch.cm_query(cm, probes)),
+                         "stream_n": pa.array(
+                             np.full(len(CM_PROBE_TOKENS),
+                                     int(g["n"].to_numpy().sum()), np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("k")
+              .map_groups(merge_and_probe, batch_format="pyarrow")
+              .map_batches(lambda t: t.drop_columns(["k"])
+                           if "k" in t.column_names else t,
+                           batch_format="pyarrow"))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (GPT-3 App. C style n-gram overlap):
     flag every corpus doc sharing ≥1 distinct word 4-gram with the
@@ -809,4 +852,5 @@ register("text_decontaminate", q_decontaminate, SQL_DECONTAMINATE)
 register("text_segment_dedup", q_segment_dedup, SQL_SEGMENT_DEDUP)
 register("agg_approx_distinct", q_approx_distinct, None)
 register("text_repetition", q_repetition, SQL_REPETITION)
+register("agg_cm_token_freq", q_cm_token_freq, None)
 register("text_pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES)

@@ -107,3 +107,44 @@ def hll_merge_group(g: pa.Table, key_col: str) -> pa.Table:
         key_col: g[key_col][:1],
         "approx_distinct": pa.array([hll_estimate(merged)], pa.int64()),
     })
+
+
+# ----------------------------------------------------- count-min sketch
+# Cormode & Muthukrishnan 2005: d rows × w counters; point estimate =
+# min over rows; one-sided error (never underestimates), overcount
+# ≤ εN with probability 1-δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.  Like the HLL
+# registers, the counter matrix is a commutative monoid (elementwise
+# SUM), so per-batch partials merge exactly under any partitioning —
+# the frequency analog of the cardinality sketch above, for heavy-
+# hitter screens where the exact groupby(token) shuffle is the cost.
+
+CM_D = 4
+CM_W = 2048          # ε ≈ e/2048 ≈ 0.13%, δ ≈ e^-4 ≈ 1.8%
+
+
+def cm_partial(keys, d: int = CM_D, w: int = CM_W) -> np.ndarray:
+    """Key array (string Arrow array or int ndarray) → (d, w) int64
+    counter partial; one np.add.at scatter per row."""
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        base = hash64(keys)
+    else:
+        base = hash64_ints(np.asarray(keys))
+    cm = np.zeros((d, w), dtype=np.int64)
+    for r in range(d):
+        idx = (hash64_ints(base, seed=r + 1) % np.uint64(w)).astype(np.int64)
+        np.add.at(cm[r], idx, 1)
+    return cm
+
+
+def cm_query(cm: np.ndarray, keys) -> np.ndarray:
+    """Point-frequency estimates (min over rows) for a key array."""
+    d, w = cm.shape
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        base = hash64(keys)
+    else:
+        base = hash64_ints(np.asarray(keys))
+    est = np.full(len(base), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(d):
+        idx = (hash64_ints(base, seed=r + 1) % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, cm[r][idx])
+    return est

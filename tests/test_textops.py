@@ -546,3 +546,59 @@ def test_pack_group_matches_naive_and_invariants():
             assert total <= 160 or m.sum() == 1
             assert (off[m] == np.cumsum(tok[m]) - tok[m]).all()
             assert (pos[m] == np.arange(m.sum())).all()
+
+
+def test_cm_sketch_one_sided_error_and_merge():
+    import numpy as np
+    import pyarrow as pa
+
+    from __spider_ray.stages import sketch
+
+    rng = np.random.RandomState(11)
+    # Zipf-ish stream over a 500-token vocab
+    toks = [f"t{int(z)}" for z in rng.zipf(1.3, size=30_000) % 500]
+    arr = pa.array(toks, pa.string())
+    cm = sketch.cm_partial(arr)
+    # merge property: two halves sum to the full sketch
+    half = len(toks) // 2
+    cm2 = sketch.cm_partial(pa.array(toks[:half], pa.string())) + \
+        sketch.cm_partial(pa.array(toks[half:], pa.string()))
+    assert np.array_equal(cm, cm2)
+
+    import collections
+    exact = collections.Counter(toks)
+    probes = [f"t{i}" for i in range(50)]
+    est = sketch.cm_query(cm, pa.array(probes, pa.string()))
+    eps_n = (np.e / sketch.CM_W) * len(toks)
+    for tkn, e in zip(probes, est):
+        assert e >= exact[tkn]                       # never under
+        assert e - exact[tkn] <= 3 * eps_n           # overcount bound
+
+
+def test_cm_query_vs_exact(ray_session):
+    import collections
+
+    from __spider_ray.pipelines.textops import (
+        CM_PROBE_TOKENS,
+        corpus,
+        q_cm_token_freq,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact: collections.Counter = collections.Counter()
+    total = 0
+    for b in corpus(sf).iter_batches(batch_format="pyarrow"):
+        for txt in b["text"].to_pylist():
+            ws = txt.split(" ")
+            exact.update(w for w in ws if w in set(CM_PROBE_TOKENS))
+            total += len(ws)
+    got = q_cm_token_freq(sf).to_pandas()
+    assert set(got["token"]) == set(CM_PROBE_TOKENS)
+    assert (got["stream_n"] == total).all()
+    import numpy as np
+
+    from __spider_ray.stages import sketch
+    eps_n = (np.e / sketch.CM_W) * total
+    for _, row in got.iterrows():
+        assert row["est_n"] >= exact[row["token"]]
+        assert row["est_n"] - exact[row["token"]] <= 3 * eps_n
