@@ -853,4 +853,5 @@ register("text_segment_dedup", q_segment_dedup, SQL_SEGMENT_DEDUP)
 register("agg_approx_distinct", q_approx_distinct, None)
 register("text_repetition", q_repetition, SQL_REPETITION)
 register("agg_cm_token_freq", q_cm_token_freq, None)
+register("dedup_semantic", lambda sf: knn_mod.semantic_dedup(sf), None)
 register("text_pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES)

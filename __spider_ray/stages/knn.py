@@ -564,3 +564,80 @@ def pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
                            batch_size=4096, concurrency=2, num_cpus=0.5)
     return local.groupby("query_id").map_groups(_merge_topk(k),
                                                 batch_format="pyarrow")
+
+
+# ------------------------------------------------------- semantic dedup
+SEMDEDUP_TAU = 0.95
+
+
+def semantic_dedup(sf_dir: str, threshold: float = SEMDEDUP_TAU,
+                   path: str | None = None,
+                   twin_mod: int = 5) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the normalized embeddings, then WITHIN each cluster drop every
+    vector whose cosine to any higher-priority member is ≥ threshold.
+    Priority = (centroid similarity desc, vec_id asc) — SemDeDup's
+    "keep the one closest to the centroid" rule made deterministic.
+
+    Scale shape: centroids train on the bounded driver sample and
+    broadcast via ``ray.put``; assignment is one matmul per batch;
+    the only shuffle is ONE groupby(cell), and each cluster's dedup is
+    a single m×m triangular max (cluster sizes are bounded by k-means
+    granularity — n_cells scales with corpus size via ``ivf_params``).
+    Cross-cluster near-dups are missed by design (the documented
+    SemDeDup trade); the injected-twin test measures that recall.
+
+    For observability at every sf the pipeline injects a near-identical
+    twin for every vec_id % twin_mod == 0 (id + 10^6), the dedup load a
+    real corpus would carry.  Output: (vec_id, cell, keep).
+    """
+    path = path or f"{sf_dir}/embeddings.parquet"
+    _, sample = _bounded_sample(path)
+    n_cells, _, _ = ivf_params(len(sample) + len(sample) // twin_mod)
+    cent_ref = ray.put(train_ivf_centroids(sample, n_cells))
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids, m = _embs(t)
+        twins = ids % twin_mod == 0
+        ids = np.concatenate([ids, ids[twins] + 1_000_000])
+        m = np.vstack([m, m[twins]])          # exact-duplicate twins
+        mn = _normalize(m)
+        cent = ray.get(cent_ref)
+        sims = mn @ cent.T
+        cell = np.argmax(sims, axis=1).astype(np.int64)
+        # priority key quantized to 1e-6: BLAS matmul rounding is
+        # row-position-dependent, so identical vectors can differ in
+        # the last ulp — a float sort key would order twins randomly.
+        csim = np.floor(sims[np.arange(len(cell)), cell] * 1e6) \
+            .astype(np.int64)
+        dim = mn.shape[1]
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cell": pa.array(cell),
+            "csim": pa.array(csim),
+            "emb": pa.FixedSizeListArray.from_arrays(
+                pa.array(mn.reshape(-1)), dim),
+        })
+
+    def cluster_dedup(g: pa.Table) -> pa.Table:
+        if "bucket" in g.column_names:
+            g = g.drop_columns(["bucket"])
+        ids = g["vec_id"].to_numpy()
+        csim = g["csim"].to_numpy()
+        order = np.lexsort((ids, -csim))      # priority: csim desc, id asc
+        m = np.asarray(g["emb"].combine_chunks().flatten(), dtype=np.float64) \
+            .reshape(g.num_rows, -1)[order]
+        sims = m @ m.T
+        upper = np.triu(sims, k=1)            # [j, i] = sim of earlier j to i
+        drop = np.zeros(len(ids), dtype=bool)
+        if len(ids) > 1:
+            drop[1:] = upper[:, 1:].max(axis=0) >= threshold
+        return pa.table({"vec_id": pa.array(ids[order]),
+                         "cell": g["cell"].take(pa.array(order)),
+                         "keep": pa.array(~drop)})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("cell")
+              .map_groups(cluster_dedup, batch_format="pyarrow"))

