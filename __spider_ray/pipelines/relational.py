@@ -379,6 +379,43 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_events_moments(sf_dir: str):
+    """Grouped statistical moments as exact integers (n, Σc, Σc², min,
+    max of value-cents per event type) — the variance/stddev building
+    blocks, pre-aggregated per batch so the shuffle carries one row per
+    (block × group), with the divide left to the consumer (float ratios
+    never hash-compare)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"])
+        g = pa.table({"event_type": t["event_type"], "c": c,
+                      "c2": pc.multiply(c, c)}) \
+              .group_by(["event_type"]) \
+              .aggregate([("c", "count"), ("c", "sum"), ("c2", "sum"),
+                          ("c", "min"), ("c", "max")])
+        return g.rename_columns(["event_type", "n", "sum_c", "sumsq_c",
+                                 "min_c", "max_c"])
+
+    from ray.data.aggregate import Max, Min, Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("event_type")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sum_c", alias_name="sum_c"),
+                         Sum("sumsq_c", alias_name="sumsq_c"),
+                         Min("min_c", alias_name="min_c"),
+                         Max("max_c", alias_name="max_c")))
+
+
+SQL_EVENTS_MOMENTS = """
+WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events)
+SELECT event_type, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sum_c,
+  CAST(SUM(c*c) AS BIGINT) AS sumsq_c,
+  CAST(MIN(c) AS BIGINT) AS min_c, CAST(MAX(c) AS BIGINT) AS max_c
+FROM c GROUP BY event_type
+"""
+
+
 def q_events_sessions(sf_dir: str):
     """Sessionization (30-min gap), the §2.9 ordered-log pattern —
     hash-bucket shuffle keyed by user, then ONE vectorized lexsort +
@@ -1615,6 +1652,7 @@ register("rel_distinct_segments", q_distinct_segments, SQL_DISTINCT_SEGMENTS)
 register("rel_semi_join_customers", q_semi_join_customers, SQL_SEMI_JOIN)
 register("rel_anti_join_customers", q_anti_join_customers, SQL_ANTI_JOIN)
 register("rel_full_outer_join", q_full_outer_join, SQL_FULL_OUTER_JOIN)
+register("rel_events_moments", q_events_moments, SQL_EVENTS_MOMENTS)
 register("rel_events_hourly", q_events_hourly, SQL_EVENTS_HOURLY)
 register("rel_events_sessions", q_events_sessions, SQL_EVENTS_SESSIONS)
 register("rel_events_argmax", q_events_argmax, SQL_EVENTS_ARGMAX)
