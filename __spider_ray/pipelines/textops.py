@@ -688,6 +688,121 @@ def q_approx_distinct(sf_dir: str):
                           batch_format="pyarrow"))
 
 
+def q_corpus_build(sf_dir: str):
+    """The end-to-end LLM training-corpus pipeline, composed from the
+    suite's stages the way a real 100 TB run chains them — every stage
+    a streaming Dataset transform, no driver-side rows:
+
+    1. quality FILTER (length / stopword / digit rules, vectorized);
+    2. benchmark DECONTAMINATION (drop docs sharing a 4-gram with the
+       held-out doc_id % 19 subset; benchmark docs leave the corpus
+       too — they are the eval set);
+    3. global SEGMENT DEDUP (8-word first-occurrence keep, one
+       hash-keyed shuffle) and per-doc REASSEMBLY of surviving
+       segments (bucketed lexsort + one binary_join per bucket);
+    4. sequence PACKING (next-fit per source shard, 160-token budget).
+
+    Output: per-doc packing assignments over the cleaned corpus —
+    (source, doc_id, tok_n, seq_id, seq_pos, tok_offset).  Rows-only
+    (the composite is checked stage-by-stage by its member oracles;
+    pytest pins monotonic shrinkage and run-to-run determinism)."""
+    from ..functions.hashing import hash64
+    from ..functions.joins import hash_join
+    from ..stages import pack
+    from ..stages import text as tx2
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+
+    # -- 1. quality filter (same integer rules as text_quality_filter)
+    def keep_quality(t: pa.Table) -> pa.Table:
+        q = tx2.text_quality_batch(t)
+        tok, stop, dig = q["tok_n"], q["stop_n"], q["digit_tok_n"]
+        ok = pc.and_(pc.and_(pc.greater_equal(tok, 20),
+                             pc.less_equal(tok, 80)),
+                     pc.and_(pc.greater_equal(pc.multiply(stop, 50), tok),
+                             pc.less_equal(pc.multiply(dig, 10), tok)))
+        return t.filter(ok)
+
+    clean = ds.map_batches(keep_quality, batch_format="pyarrow")
+
+    # -- 2. decontaminate (broadcast benchmark grams; drop benchmark docs)
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64()).to_numpy()
+        return tx2.gram_hash_table(t.filter(pa.array(ids % tx2.DECON_MOD == 0)))
+
+    parts = [b["gram"].to_numpy()
+             for b in ds.map_batches(bench_grams, batch_format="pyarrow")
+                        .iter_batches(batch_format="pyarrow")]
+    bench = np.unique(np.concatenate(parts).astype(np.uint64)) if parts \
+        else np.empty(0, dtype=np.uint64)
+    bench_ref = ray.put(bench)
+
+    def drop_contaminated(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64()).to_numpy()
+        t = t.filter(pa.array(ids % tx2.DECON_MOD != 0))
+        hits = tx2.contamination_batch(t, bench_ref)
+        bad = set(hits["doc_id"].to_numpy().tolist())
+        ids = t["doc_id"].cast(pa.int64()).to_numpy()
+        return t.filter(pa.array(~np.isin(ids, np.fromiter(bad, np.int64,
+                                                           len(bad)))))
+
+    decon = clean.map_batches(drop_contaminated, batch_format="pyarrow")
+
+    # -- 3. segment dedup + reassembly
+    n_buckets = _doc_blocks(sf_dir) * 4
+
+    def explode(t: pa.Table) -> pa.Table:
+        s = tx2.segment_table(t.select(["doc_id", "text"]))
+        b = (hash64(s["segment"]) % np.uint64(n_buckets)).astype(np.int64)
+        return s.append_column("bucket", pa.array(b))
+
+    kept = (decon.map_batches(explode, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(tx2.segment_keep_first, batch_format="pyarrow"))
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        b = (t["doc_id"].to_numpy() % np.int64(n_buckets))
+        return t.append_column("bucket", pa.array(b))
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        """One doc_id bucket → (doc_id, text): lexsort by (doc,
+        seg_idx), list offsets per doc, one binary_join."""
+        g = g.drop_columns(["bucket"])
+        doc = g["doc_id"].to_numpy()
+        seg_idx = g["seg_idx"].to_numpy()
+        order = np.lexsort((seg_idx, doc))
+        doc_s = doc[order]
+        segs = g["segment"].take(pa.array(order)).combine_chunks()
+        new = np.concatenate([[True], doc_s[1:] != doc_s[:-1]])
+        counts = np.diff(np.append(np.nonzero(new)[0], len(doc_s)))
+        offsets = np.append(0, np.cumsum(counts)).astype(np.int32)
+        text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), segs), " ")
+        return pa.table({"doc_id": pa.array(doc_s[new]), "text": text})
+
+    rebuilt = (kept.map_batches(rebucket, batch_format="pyarrow")
+                   .groupby("bucket")
+                   .map_groups(reassemble, batch_format="pyarrow"))
+
+    # -- 4. pack per source shard (source re-attached by a keyed join)
+    src = decon.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                            "source": t["source"]}),
+        batch_format="pyarrow")
+    withsrc = hash_join(rebuilt, src, on=["doc_id"], n_buckets=16)
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(t["text"], pattern=" "))
+        return pa.table({"source": t["source"],
+                         "doc_id": t["doc_id"],
+                         "tok_n": n.cast(pa.int64())})
+
+    return (withsrc.map_batches(tok_counts, batch_format="pyarrow")
+                   .groupby("source")
+                   .map_groups(pack.pack_group, batch_format="pyarrow"))
+
+
 CM_PROBE_TOKENS = sorted({w for ws in tx.STOPWORDS.values() for w in ws})
 
 
@@ -854,4 +969,5 @@ register("agg_approx_distinct", q_approx_distinct, None)
 register("text_repetition", q_repetition, SQL_REPETITION)
 register("agg_cm_token_freq", q_cm_token_freq, None)
 register("dedup_semantic", lambda sf: knn_mod.semantic_dedup(sf), None)
+register("pipeline_corpus_build", q_corpus_build, None)
 register("text_pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES)

@@ -629,3 +629,30 @@ def test_semantic_dedup_drops_injected_twins(ray_session):
     dropped = {i for i in twins if not (keep[i] and keep[i + 1_000_000])}
     assert dropped == set(twins)
     assert all(keep[i] >= keep[i + 1_000_000] for i in twins)
+
+
+def test_corpus_build_composite(ray_session):
+    """End-to-end corpus build: deterministic across runs, every doc
+    survives all filters or none, packing invariants hold, and the
+    pipeline genuinely shrinks the corpus (filters + dedup active)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from __spider_ray.pipelines.textops import q_corpus_build
+
+    sf = "/root/testdata/sf0.001"
+    a = q_corpus_build(sf).to_pandas().sort_values(
+        ["source", "doc_id"]).reset_index(drop=True)
+    b = q_corpus_build(sf).to_pandas().sort_values(
+        ["source", "doc_id"]).reset_index(drop=True)
+    assert a.equals(b)                                  # deterministic
+
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert 0 < len(a) < n_docs                          # filters bit
+    assert (a["tok_n"] > 0).all()
+    for (_, seq), grp in a.groupby(["source", "seq_id"]):
+        assert grp["tok_n"].sum() <= 160 or len(grp) == 1
+        assert sorted(grp["seq_pos"]) == list(range(len(grp)))
+        off = np.cumsum(grp.sort_values("seq_pos")["tok_n"].to_numpy())
+        assert (grp.sort_values("seq_pos")["tok_offset"].to_numpy()
+                == np.append(0, off[:-1])).all()
