@@ -688,6 +688,58 @@ def q_approx_distinct(sf_dir: str):
                           batch_format="pyarrow"))
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Continual-pretraining dedup: yesterday's corpus is committed
+    into the crawl engine's SHARDED CUCKOO seen-set actors (content
+    fingerprints instead of URLs — the same shared-mutable-state layer
+    the Dataset API can't express), then today's delta streams against
+    it and surfaces the already-seen docs.  Two passes with a natural
+    barrier between them (state build, then probe) — the incremental
+    shape a daily corpus refresh runs, where re-shuffling the full old
+    corpus per delta (the join alternative) is exactly what the
+    persistent actor state avoids.  Output: (doc_id) of delta docs
+    whose exact content was already in the base corpus.
+
+    The base corpus is ``documents``; the delta is the injected-dup
+    tail of the shared dedup corpus (doc_id ≥ 100000: exact copies and
+    suffix near-copies) — only the exact copies match by fingerprint.
+    """
+    from ..state.url_seen import UrlSeenSet
+
+    seen = UrlSeenSet(n_shards=4, n_buckets=1 << 16)
+
+    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def insert(t: pa.Table) -> pa.Table:
+        fp = pc.utf8_lower(t["text"])
+        seen.check_and_add(fp.combine_chunks()
+                           if isinstance(fp, pa.ChunkedArray) else fp)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    base.map_batches(insert, batch_format="pyarrow").count()   # barrier
+
+    delta = corpus(sf_dir).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 100000)),
+        batch_format="pyarrow")
+
+    def probe(t: pa.Table) -> pa.Table:
+        fp = pc.utf8_lower(t["text"])
+        mask = seen.contains(fp.combine_chunks()
+                             if isinstance(fp, pa.ChunkedArray) else fp)
+        return pa.table({"doc_id": t["doc_id"].filter(pa.array(mask))})
+
+    return delta.map_batches(probe, batch_format="pyarrow")
+
+
+SQL_DEDUP_INCREMENTAL = f"""WITH {CORPUS_CTE.strip()},
+old AS (SELECT DISTINCT lower(text) AS fp FROM documents)
+SELECT doc_id FROM (SELECT doc_id, lower(text) AS fp FROM corpus
+                    WHERE doc_id >= 100000)
+WHERE fp IN (SELECT fp FROM old)
+"""
+
+
 def q_corpus_build(sf_dir: str):
     """The end-to-end LLM training-corpus pipeline, composed from the
     suite's stages the way a real 100 TB run chains them — every stage
@@ -970,4 +1022,5 @@ register("text_repetition", q_repetition, SQL_REPETITION)
 register("agg_cm_token_freq", q_cm_token_freq, None)
 register("dedup_semantic", lambda sf: knn_mod.semantic_dedup(sf), None)
 register("pipeline_corpus_build", q_corpus_build, None)
+register("dedup_incremental", q_dedup_incremental, SQL_DEDUP_INCREMENTAL)
 register("text_pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES)
