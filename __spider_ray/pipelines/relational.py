@@ -416,6 +416,59 @@ FROM c GROUP BY event_type
 """
 
 
+def q_events_moving_window(sf_dir: str):
+    """ROWS-frame moving window (3-row trailing sum/count per user,
+    ordered by ts then event_id) — the fixed-row-frame flavor the
+    RANGE-interval query doesn't cover.  One hash-bucket shuffle keyed
+    by user; per bucket ONE lexsort + a cumsum-difference computes
+    every user's trailing sums (frame starts clamped at each user's
+    first row — no per-user Python)."""
+    from ..functions.hashing import hash64_ints
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    W = 3
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["user_id"].to_numpy().astype(np.uint64))
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def window_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        c = _cents(g["value"]).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        u, e, cc = uid[order], eid[order], c[order]
+        n = len(u)
+        cum = np.cumsum(cc)
+        pos = np.arange(n)
+        # first row index of each user's run, repeated per row
+        new = np.concatenate([[True], u[1:] != u[:-1]])
+        run_start = np.repeat(pos[new], np.diff(np.append(pos[new], n)))
+        lo = np.maximum(pos - (W - 1), run_start)      # frame start (clamped)
+        win_sum = cum - np.where(lo > 0, cum[lo - 1], 0)
+        win_n = pos - lo + 1
+        return pa.table({"user_id": pa.array(u), "event_id": pa.array(e),
+                         "win_sum": pa.array(win_sum.astype(np.int64)),
+                         "win_n": pa.array(win_n.astype(np.int64))})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: window_bucket(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow"))
+
+
+SQL_EVENTS_MOVING_WINDOW = """
+WITH c AS (SELECT user_id, event_id, ts,
+                  CAST(round(value*100) AS BIGINT) AS c FROM events)
+SELECT user_id, event_id,
+  CAST(SUM(c) OVER w AS BIGINT) AS win_sum,
+  CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_events_sessions(sf_dir: str):
     """Sessionization (30-min gap), the §2.9 ordered-log pattern —
     hash-bucket shuffle keyed by user, then ONE vectorized lexsort +
@@ -1653,6 +1706,7 @@ register("rel_semi_join_customers", q_semi_join_customers, SQL_SEMI_JOIN)
 register("rel_anti_join_customers", q_anti_join_customers, SQL_ANTI_JOIN)
 register("rel_full_outer_join", q_full_outer_join, SQL_FULL_OUTER_JOIN)
 register("rel_events_moments", q_events_moments, SQL_EVENTS_MOMENTS)
+register("rel_events_moving_window", q_events_moving_window, SQL_EVENTS_MOVING_WINDOW)
 register("rel_events_hourly", q_events_hourly, SQL_EVENTS_HOURLY)
 register("rel_events_sessions", q_events_sessions, SQL_EVENTS_SESSIONS)
 register("rel_events_argmax", q_events_argmax, SQL_EVENTS_ARGMAX)
