@@ -983,6 +983,47 @@ FROM hits
 """
 
 
+def q_emb_covariance(sf_dir: str):
+    """Embedding second-moment (covariance/PCA-whitening prep): the
+    d×d Gram accumulation Σ qᵀq over the corpus, with components
+    quantized to integers (floor(v·10⁶)) so the sum is EXACT and the
+    DuckDB oracle hash-matches.  Per batch ONE int64 matmul produces
+    the full d×d partial — the shuffle carries d² rows per block, the
+    corpus rows never move; a final tiny groupby sums partials."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        d = len(col[0])
+        m = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
+        q = np.floor(m * 1_000_000).astype(np.int64)
+        gram = q.T @ q                                  # (d, d) exact int64
+        i = np.repeat(np.arange(1, d + 1, dtype=np.int64), d)
+        j = np.tile(np.arange(1, d + 1, dtype=np.int64), d)
+        return pa.table({"i": pa.array(i), "j": pa.array(j),
+                         "qsum": pa.array(gram.reshape(-1)),
+                         "n": pa.array(np.full(d * d, len(m), np.int64))})
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["i", "j"])
+              .aggregate(Sum("qsum", alias_name="qsum"),
+                         Sum("n", alias_name="n")))
+
+
+SQL_EMB_COVARIANCE = """
+WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                       AS BIGINT) AS qv
+           FROM embeddings)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       CAST(SUM(a.qv * b.qv) AS BIGINT) AS qsum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i
+"""
+
+
 SQL_EMB_CENTROIDS = """
 WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
                   unnest(embedding) AS v
@@ -1015,6 +1056,7 @@ register("knn_pq_topk", q_knn_pq, None)
 register("emb_near_dups", q_emb_near_dups, None)
 register("dedup_keep_best", q_dedup_keep_best, SQL_DEDUP_KEEP_BEST)
 register("emb_centroid_sums", q_emb_centroid_sums, SQL_EMB_CENTROIDS)
+register("emb_covariance", q_emb_covariance, SQL_EMB_COVARIANCE)
 register("text_decontaminate", q_decontaminate, SQL_DECONTAMINATE)
 register("text_segment_dedup", q_segment_dedup, SQL_SEGMENT_DEDUP)
 register("agg_approx_distinct", q_approx_distinct, None)
