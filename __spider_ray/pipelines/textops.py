@@ -143,16 +143,8 @@ def q_quality_filter(sf_dir: str):
     integer-exact rules over the quality signals, applied in the same
     vectorized pass."""
     ds = corpus(sf_dir).map_batches(tx.text_quality_batch, batch_format="pyarrow")
-
-    def keep(t: pa.Table) -> pa.Table:
-        tok = t["tok_n"]
-        ok = pc.and_(pc.and_(
-            pc.greater_equal(tok, 20), pc.less_equal(tok, 80)),
-            pc.and_(
-                pc.greater_equal(pc.multiply(t["stop_n"], 50), tok),
-                pc.less_equal(pc.multiply(t["digit_tok_n"], 10), tok)))
-        return t.filter(ok)
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return ds.map_batches(lambda t: t.filter(tx.quality_keep_mask(t)),
+                          batch_format="pyarrow")
 
 
 SQL_QUALITY_FILTER = f"""WITH {CORPUS_CTE.strip()},
@@ -688,6 +680,22 @@ def q_approx_distinct(sf_dir: str):
                           batch_format="pyarrow"))
 
 
+def benchmark_gram_set(ds: ray.data.Dataset) -> np.ndarray:
+    """Distributed benchmark-gram extraction reduced to ONE sorted
+    uint64 hash array on the driver (bounded: a benchmark suite is
+    fixed-size regardless of corpus scale) — shared by the standalone
+    decontamination query and the corpus-build composite."""
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64()).to_numpy()
+        return tx.gram_hash_table(t.filter(pa.array(ids % tx.DECON_MOD == 0)))
+
+    parts = [b["gram"].to_numpy()
+             for b in ds.map_batches(bench_grams, batch_format="pyarrow")
+                        .iter_batches(batch_format="pyarrow")]
+    return np.unique(np.concatenate(parts).astype(np.uint64)) if parts \
+        else np.empty(0, dtype=np.uint64)
+
+
 def q_dedup_incremental(sf_dir: str):
     """Continual-pretraining dedup: yesterday's corpus is committed
     into the crawl engine's SHARDED CUCKOO seen-set actors (content
@@ -766,29 +774,14 @@ def q_corpus_build(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "source"])
 
-    # -- 1. quality filter (same integer rules as text_quality_filter)
+    # -- 1. quality filter (the shared Gopher/C4 keep rule)
     def keep_quality(t: pa.Table) -> pa.Table:
-        q = tx2.text_quality_batch(t)
-        tok, stop, dig = q["tok_n"], q["stop_n"], q["digit_tok_n"]
-        ok = pc.and_(pc.and_(pc.greater_equal(tok, 20),
-                             pc.less_equal(tok, 80)),
-                     pc.and_(pc.greater_equal(pc.multiply(stop, 50), tok),
-                             pc.less_equal(pc.multiply(dig, 10), tok)))
-        return t.filter(ok)
+        return t.filter(tx2.quality_keep_mask(tx2.text_quality_batch(t)))
 
     clean = ds.map_batches(keep_quality, batch_format="pyarrow")
 
     # -- 2. decontaminate (broadcast benchmark grams; drop benchmark docs)
-    def bench_grams(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].cast(pa.int64()).to_numpy()
-        return tx2.gram_hash_table(t.filter(pa.array(ids % tx2.DECON_MOD == 0)))
-
-    parts = [b["gram"].to_numpy()
-             for b in ds.map_batches(bench_grams, batch_format="pyarrow")
-                        .iter_batches(batch_format="pyarrow")]
-    bench = np.unique(np.concatenate(parts).astype(np.uint64)) if parts \
-        else np.empty(0, dtype=np.uint64)
-    bench_ref = ray.put(bench)
+    bench_ref = ray.put(benchmark_gram_set(ds))
 
     def drop_contaminated(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].cast(pa.int64()).to_numpy()
@@ -837,8 +830,14 @@ def q_corpus_build(sf_dir: str):
                    .groupby("bucket")
                    .map_groups(reassemble, batch_format="pyarrow"))
 
-    # -- 4. pack per source shard (source re-attached by a keyed join)
-    src = decon.map_batches(
+    # -- 4. pack per source shard.  Source is re-attached from a
+    # column-pruned re-read of the RAW table, not from `decon`: Ray
+    # re-executes shared lineage per consuming branch, so hanging a
+    # second branch off `decon` would run quality+decontamination
+    # twice; the raw (doc_id, source) projection is nearly free and
+    # the inner join keeps exactly the cleaned docs.
+    src = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "source"]).map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
                             "source": t["source"]}),
         batch_format="pyarrow")
@@ -874,10 +873,11 @@ def q_cm_token_freq(sf_dir: str):
         words = pc.split_pattern(t["text"], pattern=" ")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
-        cm = sketch.cm_partial(words.flatten())
+        flat = words.flatten()
+        cm = sketch.cm_partial(flat)
         return pa.table({"k": pa.array([0], pa.int8()),
                          "cm": pa.array([cm.tobytes()], pa.binary()),
-                         "n": pa.array([len(words.flatten())], pa.int64())})
+                         "n": pa.array([len(flat)], pa.int64())})
 
     def merge_and_probe(g: pa.Table) -> pa.Table:
         cm = np.zeros((sketch.CM_D, sketch.CM_W), dtype=np.int64)
@@ -892,10 +892,7 @@ def q_cm_token_freq(sf_dir: str):
 
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("k")
-              .map_groups(merge_and_probe, batch_format="pyarrow")
-              .map_batches(lambda t: t.drop_columns(["k"])
-                           if "k" in t.column_names else t,
-                           batch_format="pyarrow"))
+              .map_groups(merge_and_probe, batch_format="pyarrow"))
 
 
 def q_decontaminate(sf_dir: str):
@@ -914,17 +911,7 @@ def q_decontaminate(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-
-    def bench_grams(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].cast(pa.int64()).to_numpy()
-        return tx.gram_hash_table(t.filter(pa.array(ids % tx.DECON_MOD == 0)))
-
-    parts = [b["gram"].to_numpy()
-             for b in ds.map_batches(bench_grams, batch_format="pyarrow")
-                        .iter_batches(batch_format="pyarrow")]
-    bench = np.unique(np.concatenate(parts).astype(np.uint64)) if parts \
-        else np.empty(0, dtype=np.uint64)
-    ref = ray.put(bench)
+    ref = ray.put(benchmark_gram_set(ds))
 
     def corpus_hits(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].cast(pa.int64()).to_numpy()

@@ -568,6 +568,7 @@ def pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
 
 # ------------------------------------------------------- semantic dedup
 SEMDEDUP_TAU = 0.95
+TWIN_OFFSET = 1 << 40      # above any real vec_id — twin ids can't collide
 
 
 def semantic_dedup(sf_dir: str, threshold: float = SEMDEDUP_TAU,
@@ -588,8 +589,9 @@ def semantic_dedup(sf_dir: str, threshold: float = SEMDEDUP_TAU,
     SemDeDup trade); the injected-twin test measures that recall.
 
     For observability at every sf the pipeline injects a near-identical
-    twin for every vec_id % twin_mod == 0 (id + 10^6), the dedup load a
-    real corpus would carry.  Output: (vec_id, cell, keep).
+    twin for every vec_id % twin_mod == 0 (twin id = id + 2^40, above
+    any real vec_id by construction), the dedup load a real corpus
+    would carry.  Output: (vec_id, cell, keep).
     """
     path = path or f"{sf_dir}/embeddings.parquet"
     _, sample = _bounded_sample(path)
@@ -601,7 +603,7 @@ def semantic_dedup(sf_dir: str, threshold: float = SEMDEDUP_TAU,
     def assign(t: pa.Table) -> pa.Table:
         ids, m = _embs(t)
         twins = ids % twin_mod == 0
-        ids = np.concatenate([ids, ids[twins] + 1_000_000])
+        ids = np.concatenate([ids, ids[twins] + TWIN_OFFSET])
         m = np.vstack([m, m[twins]])          # exact-duplicate twins
         mn = _normalize(m)
         cent = ray.get(cent_ref)
@@ -622,8 +624,6 @@ def semantic_dedup(sf_dir: str, threshold: float = SEMDEDUP_TAU,
         })
 
     def cluster_dedup(g: pa.Table) -> pa.Table:
-        if "bucket" in g.column_names:
-            g = g.drop_columns(["bucket"])
         ids = g["vec_id"].to_numpy()
         csim = g["csim"].to_numpy()
         order = np.lexsort((ids, -csim))      # priority: csim desc, id asc

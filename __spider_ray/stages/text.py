@@ -363,3 +363,14 @@ def repetition_batch(t: pa.Table, n: int = 2) -> pa.Table:
                      "n2": pa.array(n2[keep]),
                      "dup2": pa.array((n2 - distinct)[keep]),
                      "top2": pa.array(top2[keep])})
+
+
+def quality_keep_mask(q: pa.Table):
+    """The Gopher/C4 keep rule over a quality-signal table (the ONE
+    definition both the standalone filter query and the corpus-build
+    composite apply): 20 ≤ tokens ≤ 80, stopwords ≥ 2%, digits ≤ 10%."""
+    tok = q["tok_n"]
+    return pc.and_(
+        pc.and_(pc.greater_equal(tok, 20), pc.less_equal(tok, 80)),
+        pc.and_(pc.greater_equal(pc.multiply(q["stop_n"], 50), tok),
+                pc.less_equal(pc.multiply(q["digit_tok_n"], 10), tok)))

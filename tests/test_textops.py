@@ -615,20 +615,20 @@ def test_semantic_dedup_drops_injected_twins(ray_session):
     sf = "/root/testdata/sf0.001"
     base_ids = set(pq.read_table(f"{sf}/embeddings.parquet",
                                  columns=["vec_id"])["vec_id"].to_pylist())
+    from __spider_ray.stages.knn import TWIN_OFFSET
     out = semantic_dedup(sf).to_pandas()
+    assert out["vec_id"].is_unique
     keep = dict(zip(out["vec_id"], out["keep"]))
     cell = dict(zip(out["vec_id"], out["cell"]))
     twins = [i for i in base_ids if i % 5 == 0]
     assert len(out) == len(base_ids) + len(twins)
     for i in twins:
-        assert cell[i] == cell[i + 1_000_000]          # same cluster
-        # exact duplicates: exactly one of the pair survives
-        assert keep[i] != keep[i + 1_000_000] or not keep[i]
-        assert keep[i] or keep[i + 1_000_000] or True
-    # at least one of each pair dropped, priority keeps the smaller id
-    dropped = {i for i in twins if not (keep[i] and keep[i + 1_000_000])}
-    assert dropped == set(twins)
-    assert all(keep[i] >= keep[i + 1_000_000] for i in twins)
+        assert cell[i] == cell[i + TWIN_OFFSET]        # same cluster
+        # exact duplicates: the twin is ALWAYS dropped; the original
+        # survives unless itself a near-dup of a higher-priority vector
+        assert not keep[i + TWIN_OFFSET]
+    # on this (fixed, deterministic) corpus no original is shadowed
+    assert all(keep[i] for i in twins)
 
 
 def test_corpus_build_composite(ray_session):
