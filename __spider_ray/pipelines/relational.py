@@ -379,6 +379,59 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(status, priority) — all four grouping sets.  Same
+    two-stage shape as the ROLLUP: one distributed in-batch
+    pre-aggregation over the facts, then the tiny aggregate explodes ×4
+    with keys masked to the 'ALL' sentinel and re-reduces; both
+    shuffles move only aggregate rows."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"st": t["o_orderstatus"], "pr": t["o_orderpriority"],
+                      "c": _cents(t["o_totalprice"])}) \
+              .group_by(["st", "pr"]).aggregate([("c", "sum"), ("c", "count")])
+        return g.rename_columns(["st", "pr", "total_cents", "n_orders"])
+
+    def explode_sets(t: pa.Table) -> pa.Table:
+        st = np.asarray(t["st"].to_pylist(), dtype=object)
+        pr = np.asarray(t["pr"].to_pylist(), dtype=object)
+        al = np.full(len(st), "ALL", dtype=object)
+        return pa.table({
+            "st": pa.array(np.concatenate([st, st, al, al])),
+            "pr": pa.array(np.concatenate([pr, al, pr, al])),
+            "total_cents": pa.concat_arrays(
+                [t["total_cents"].combine_chunks()] * 4),
+            "n_orders": pa.concat_arrays(
+                [t["n_orders"].combine_chunks()] * 4)})
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "st": g["st"][:1], "pr": g["pr"][:1],
+            "total_cents": pa.array(
+                [int(g["total_cents"].to_numpy().sum())], pa.int64()),
+            "n_orders": pa.array(
+                [int(g["n_orders"].to_numpy().sum())], pa.int64())})
+
+    base = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["st", "pr"]).map_groups(reduce_group,
+                                                batch_format="pyarrow"))
+    return (base.map_batches(explode_sets, batch_format="pyarrow")
+                .groupby(["st", "pr"]).map_groups(reduce_group,
+                                                  batch_format="pyarrow"))
+
+
+SQL_ORDERS_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+       COALESCE(o_orderpriority, 'ALL') AS pr,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 def q_events_moments(sf_dir: str):
     """Grouped statistical moments as exact integers (n, Σc, Σc², min,
     max of value-cents per event type) — the variance/stddev building
@@ -1706,6 +1759,7 @@ register("rel_semi_join_customers", q_semi_join_customers, SQL_SEMI_JOIN)
 register("rel_anti_join_customers", q_anti_join_customers, SQL_ANTI_JOIN)
 register("rel_full_outer_join", q_full_outer_join, SQL_FULL_OUTER_JOIN)
 register("rel_events_moments", q_events_moments, SQL_EVENTS_MOMENTS)
+register("rel_orders_cube", q_orders_cube, SQL_ORDERS_CUBE)
 register("rel_events_moving_window", q_events_moving_window, SQL_EVENTS_MOVING_WINDOW)
 register("rel_events_hourly", q_events_hourly, SQL_EVENTS_HOURLY)
 register("rel_events_sessions", q_events_sessions, SQL_EVENTS_SESSIONS)
