@@ -126,6 +126,32 @@ def _crawl_od_counts(sf_dir: str):
     return out.rename_columns({"count()": "n_flights"})
 
 
+def _crawl_host_stats(sf_dir: str):
+    """The north-star frontier shape made explicit: groupby(host)
+    aggregate over the deduped frontier (URL count, distinct seeds,
+    day-offset span) then sort by load descending — the per-host
+    budget/priority view a crawl scheduler derives before issuing
+    fetch waves.  Pre-aggregated per batch; the shuffle moves one row
+    per (block × host)."""
+    ds = crawl.frontier(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"host": t["host"],
+                      "day_offset": t["day_offset"].cast(pa.int64())}) \
+              .group_by(["host"]) \
+              .aggregate([("day_offset", "count"),
+                          ("day_offset", "min"), ("day_offset", "max")])
+        return g.rename_columns(["host", "n_urls", "min_day", "max_day"])
+
+    from ray.data.aggregate import Max, Min, Sum
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("host")
+             .aggregate(Sum("n_urls", alias_name="n_urls"),
+                        Min("min_day", alias_name="min_day"),
+                        Max("max_day", alias_name="max_day")))
+    return agg.sort(["n_urls", "host"], descending=[True, False])
+
+
 def _crawl_min_price(sf_dir: str):
     """A4/O1 — grouped argmin: cheapest flight per (OD, date)
     (ylSpider06.py:536-541 sort-asc-take-first semantics).
@@ -536,6 +562,11 @@ _CRAWL_SQL = {
                       'OVER (PARTITION BY doc_id ORDER BY "offset" '
                       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS caption "
                       "FROM spans) WHERE kind = 'media'",
+    "crawl_host_stats": f"{osql.with_chain(osql.SEEDS_CTE, osql.FRONTIER_CTE)} "
+                        "SELECT host, COUNT(*) AS n_urls, "
+                        "CAST(MIN(day_offset) AS BIGINT) AS min_day, "
+                        "CAST(MAX(day_offset) AS BIGINT) AS max_day "
+                        "FROM frontier GROUP BY host",
     "crawl_cabins": f'{osql.CRAWL_DETAIL} SELECT detail_url, host, plane_no, off_date, '
                     'cabin_idx, "ruleId", "limitLabel", "clientTicketPrice", '
                     'lep, lrp, ml, baggage FROM cabins',
@@ -564,6 +595,7 @@ def _ensure_builtin() -> None:
     register("crawl_min_price", _crawl_min_price, _CRAWL_SQL["crawl_min_price"])
     register("crawl_dead_letter", _crawl_dead_letter, _CRAWL_SQL["crawl_dead_letter"])
     register("media_captions", _media_captions, _CRAWL_SQL["media_captions"])
+    register("crawl_host_stats", _crawl_host_stats, _CRAWL_SQL["crawl_host_stats"])
 
     def _city_pagerank(sf_dir: str):
         from .graph import q_city_pagerank
