@@ -80,6 +80,13 @@ def q_events_ntile(sf_dir: str, tiles: int = NTILE_T):
     values = h["value_cents"].to_numpy(dtype=np.int64)
     cum = np.cumsum(counts)
     n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        # empty table: no cuts to resolve (cut_pos would be all zeros
+        # and values[vi] would index an empty array) — every (zero)
+        # row is tile 1, so just run the assign with no boundaries
+        cut_v = np.empty(0, dtype=np.int64)
+        cut_e = np.empty(0, dtype=np.int64)
+        return _ntile_assign(ds, cut_v, cut_e)
 
     q_, r_ = divmod(n, tiles)
     sizes = np.array([q_ + 1 if i < r_ else q_ for i in range(tiles)],
@@ -123,7 +130,12 @@ def q_events_ntile(sf_dir: str, tiles: int = NTILE_T):
 
     cut_v = np.array([c[0] for c in cut_keys], dtype=np.int64)
     cut_e = np.array([c[1] for c in cut_keys], dtype=np.int64)
+    return _ntile_assign(ds, cut_v, cut_e)
 
+
+def _ntile_assign(ds, cut_v: np.ndarray, cut_e: np.ndarray):
+    """Broadcast the (≤ T−1) resolved cut keys and assign tiles with a
+    per-row comparison against each boundary — rows never shuffle."""
     def assign(t: pa.Table) -> pa.Table:
         vc = np.asarray(_cents(t["value"].combine_chunks()))
         eid = t["event_id"].to_numpy()

@@ -696,33 +696,21 @@ def benchmark_gram_set(ds: ray.data.Dataset) -> np.ndarray:
         else np.empty(0, dtype=np.uint64)
 
 
-def q_dedup_incremental(sf_dir: str):
-    """Continual-pretraining dedup: yesterday's corpus is committed
-    into the crawl engine's SHARDED CUCKOO seen-set actors (content
-    fingerprints instead of URLs — the same shared-mutable-state layer
-    the Dataset API can't express), then today's delta streams against
-    it and surfaces the already-seen docs.  Two passes with a natural
-    barrier between them (state build, then probe) — the incremental
-    shape a daily corpus refresh runs, where re-shuffling the full old
-    corpus per delta (the join alternative) is exactly what the
-    persistent actor state avoids.  Output: (doc_id) of delta docs
-    whose exact content was already in the base corpus.
-
-    The base corpus is ``documents``; the delta is the injected-dup
-    tail of the shared dedup corpus (doc_id ≥ 100000: exact copies and
-    suffix near-copies) — only the exact copies match by fingerprint.
-    """
-    from ..state.url_seen import UrlSeenSet
-
-    seen = UrlSeenSet(n_shards=4, n_buckets=1 << 16)
-
+def _incremental_dedup(sf_dir: str, seen) -> "ray.data.Dataset":
+    """Shared incremental-dedup shape: commit the base corpus's content
+    fingerprints into a sharded seen-set (``seen``: ExactSeenSet or
+    UrlSeenSet client), then stream the delta against it.  Two passes
+    with a natural barrier between them (state build, then probe) —
+    the incremental shape a daily corpus refresh runs, where
+    re-shuffling the full old corpus per delta (the join alternative)
+    is exactly what the persistent actor state avoids."""
     base = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def insert(t: pa.Table) -> pa.Table:
         fp = pc.utf8_lower(t["text"])
-        seen.check_and_add(fp.combine_chunks()
-                           if isinstance(fp, pa.ChunkedArray) else fp)
+        seen.add(fp.combine_chunks()
+                 if isinstance(fp, pa.ChunkedArray) else fp)
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
     base.map_batches(insert, batch_format="pyarrow").count()   # barrier
@@ -738,6 +726,55 @@ def q_dedup_incremental(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"].filter(pa.array(mask))})
 
     return delta.map_batches(probe, batch_format="pyarrow")
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Continual-pretraining dedup, EXACT flavor (oracle-checked):
+    yesterday's corpus is committed into sharded EXACT seen-set actors
+    (full 64-bit content hashes, sorted-array probes — the same
+    shared-mutable-state layer the Dataset API can't express), then
+    today's delta streams against it and surfaces the already-seen
+    docs.  Output: (doc_id) of delta docs whose exact content was
+    already in the base corpus.
+
+    An exact structure is required here because the result is checked
+    against an exact SQL oracle: the cuckoo filter's 16-bit
+    fingerprints false-positive at ~2·b/2^16 per probe as load grows,
+    which would flag never-seen delta docs at larger corpus sizes
+    (round-3 advice).  The approximate flavor survives as the
+    rows-only ``dedup_incremental_cuckoo``.
+
+    The base corpus is ``documents``; the delta is the injected-dup
+    tail of the shared dedup corpus (doc_id ≥ 100000: exact copies and
+    suffix near-copies) — only the exact copies match by fingerprint.
+    """
+    from ..state.url_seen import ExactSeenSet
+    return _incremental_dedup(sf_dir, ExactSeenSet(n_shards=4))
+
+
+class _CuckooSeenAdapter:
+    """UrlSeenSet with the add/contains verbs _incremental_dedup uses."""
+
+    def __init__(self, n_shards: int = 4, n_buckets: int = 1 << 16):
+        from ..state.url_seen import UrlSeenSet
+        self._set = UrlSeenSet(n_shards=n_shards, n_buckets=n_buckets)
+
+    def add(self, values) -> None:
+        self._set.check_and_add(values)
+
+    def contains(self, values):
+        return self._set.contains(values)
+
+
+def q_dedup_incremental_cuckoo(sf_dir: str):
+    """Approximate flavor of incremental dedup on the crawl engine's
+    cuckoo seen-set shards — ~2 bytes/key instead of 8, at the cost of
+    a bounded false-positive rate (~2·b/2^16 per probe at bucket size
+    b and full load; zero false NEGATIVES).  Rows-only by design: the
+    FP bound means the result is a superset of the exact answer, the
+    right trade for fetch-skip heuristics but not for an
+    oracle-checked dedup (see q_dedup_incremental)."""
+    return _incremental_dedup(sf_dir, _CuckooSeenAdapter())
 
 
 SQL_DEDUP_INCREMENTAL = f"""WITH {CORPUS_CTE.strip()},
@@ -1052,4 +1089,5 @@ register("agg_cm_token_freq", q_cm_token_freq, None)
 register("dedup_semantic", lambda sf: knn_mod.semantic_dedup(sf), None)
 register("pipeline_corpus_build", q_corpus_build, None)
 register("dedup_incremental", q_dedup_incremental, SQL_DEDUP_INCREMENTAL)
+register("dedup_incremental_cuckoo", q_dedup_incremental_cuckoo, None)
 register("text_pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES)

@@ -42,17 +42,23 @@ def fetch_batch(batch: pa.Table, status_fn=None, body_fn=None) -> pa.Table:
     v1 ``fltitem``; v2 ``listCards`` passes ``synth.page_status_v2`` /
     ``synth.page_body_v2``).
     """
-    status_fn = status_fn or synth.page_status
-    body_fn = body_fn or synth.page_body
     urls = batch["url"].to_pylist()
-    statuses = np.empty(len(urls), dtype=np.int32)
-    errors: list[str | None] = [None] * len(urls)
-    bodies: list[bytes] = [b""] * len(urls)
-    for i, u in enumerate(urls):
-        st, err, _n = status_fn(u)
-        statuses[i] = st
-        errors[i] = err
-        bodies[i] = body_fn(u)
+    if status_fn is None and body_fn is None:
+        # default v1 API: the vectorized synthetic-web path (one md5
+        # pass per url/flight, numpy field math — bit-identical to the
+        # scalar page_status/page_body, pinned by test_stages_unit)
+        statuses, errors, bodies = synth.page_responses_v1(urls)
+    else:
+        status_fn = status_fn or synth.page_status
+        body_fn = body_fn or synth.page_body
+        statuses = np.empty(len(urls), dtype=np.int32)
+        errors = [None] * len(urls)
+        bodies = [b""] * len(urls)
+        for i, u in enumerate(urls):
+            st, err, _n = status_fn(u)
+            statuses[i] = st
+            errors[i] = err
+            bodies[i] = body_fn(u)
     elapsed = (uniform01(batch["url"].combine_chunks(), salt="elapsed") * 2000 + 50).astype(np.int32)
     fetch_ts = pa.array(
         np.full(len(urls), np.datetime64(synth.CREATE_TIME_STR.replace(" ", "T"), "us")))

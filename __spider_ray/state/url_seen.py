@@ -154,6 +154,88 @@ class UrlSeenSet:
         ray.get([s.reset.remote() for s in self.shards])
 
 
+@ray.remote(num_cpus=0.1)
+class ExactSeenShard:
+    """Exact per-shard seen set: FULL 64-bit content hashes in one
+    sorted uint64 array (8 B/key, vectorized searchsorted probes).
+
+    Zero false positives at any load, unlike the cuckoo shards whose
+    16-bit fingerprints false-positive at ~2·b/2^16 per probe as the
+    filter fills — the right structure when the membership answer is
+    the QUERY RESULT (incremental content dedup checked against an
+    exact SQL oracle) rather than a fetch-skip heuristic.  Memory is
+    8 bytes/key/shard vs the cuckoo's ~2; both scale to 10^10 keys
+    sharded, the cuckoo stays the frontier default."""
+
+    def __init__(self, shard_id: int):
+        self.shard_id = shard_id
+        self._keys = np.empty(0, dtype=np.uint64)
+        self._pending: list[np.ndarray] = []
+
+    def add(self, hashes: np.ndarray) -> int:
+        self._pending.append(np.asarray(hashes, dtype=np.uint64))
+        return len(hashes)
+
+    def _consolidate(self) -> None:
+        if self._pending:
+            self._keys = np.unique(
+                np.concatenate([self._keys, *self._pending]))
+            self._pending = []
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        self._consolidate()
+        h = np.asarray(hashes, dtype=np.uint64)
+        if not len(self._keys):
+            return np.zeros(len(h), dtype=bool)
+        idx = np.searchsorted(self._keys, h)
+        valid = idx < len(self._keys)
+        out = np.zeros(len(h), dtype=bool)
+        out[valid] = self._keys[idx[valid]] == h[valid]
+        return out
+
+    def count(self) -> int:
+        self._consolidate()
+        return int(len(self._keys))
+
+
+class ExactSeenSet:
+    """Client for ExactSeenShard pools — same hash routing as
+    UrlSeenSet, exact membership (no fingerprint truncation)."""
+
+    def __init__(self, n_shards: int = 4):
+        assert n_shards & (n_shards - 1) == 0
+        self.n_shards = n_shards
+        self.shards = [ExactSeenShard.remote(i) for i in range(n_shards)]
+
+    def _route(self, values: pa.Array | list[str]) -> tuple[np.ndarray, np.ndarray]:
+        h = hash64(values if isinstance(values, (pa.Array, pa.ChunkedArray))
+                   else pa.array(values, type=pa.string()))
+        shard = ((h >> np.uint64(32)) % np.uint64(self.n_shards)).astype(np.int64)
+        return h, shard
+
+    def add(self, values: pa.Array | list[str]) -> None:
+        h, shard = self._route(values)
+        refs = [self.shards[s].add.remote(h[shard == s])
+                for s in range(self.n_shards) if (shard == s).any()]
+        ray.get(refs)
+
+    def contains(self, values: pa.Array | list[str]) -> np.ndarray:
+        h, shard = self._route(values)
+        out = np.zeros(len(h), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.n_shards):
+            m = shard == s
+            if m.any():
+                refs.append(self.shards[s].contains.remote(h[m]))
+                idxs.append(np.nonzero(m)[0])
+        for idx, res in zip(idxs, ray.get(refs)):
+            out[idx] = res
+        return out
+
+    def count(self) -> int:
+        return sum(ray.get([s.count.remote() for s in self.shards]))
+
+
 def local_bloom(n_bits: int = 1 << 22) -> BloomFilter:
     """A worker-local bloom — ONLY for screens whose positives get
     re-verified downstream (e.g. candidate pruning before an exact

@@ -290,6 +290,119 @@ def day_str(day_offset: int) -> str:
     return (BASE_DATE + timedelta(days=int(day_offset))).isoformat()
 
 
+# ---------------------------------------------------------------- vectorized fetch
+def _hex_digit_matrix(hexes: list[str]) -> np.ndarray:
+    """n×32 int64 matrix of hex-digit values from md5 hex strings —
+    ONE frombuffer over the joined bytes, no per-char Python."""
+    if not hexes:
+        return np.empty((0, 32), dtype=np.int64)
+    raw = np.frombuffer("".join(hexes).encode("ascii"), dtype=np.uint8)
+    d = raw.astype(np.int64) - 48
+    d[raw >= 97] -= 39          # 'a'-'f' → 10-15
+    return d.reshape(-1, 32)
+
+
+def _hx_cols(d: np.ndarray, a: int, b: int) -> np.ndarray:
+    """Vectorized ``_hx``: int(h[a:b], 16) per row of the digit matrix."""
+    v = np.zeros(len(d), dtype=np.int64)
+    for j in range(a, b):
+        v = v * 16 + d[:, j]
+    return v
+
+
+_ERROR_BODIES = {0: json.dumps({"error": "timeout"}).encode(),
+                 1: json.dumps({"error": 403}).encode(),
+                 2: json.dumps({"error": 500}).encode()}
+_Z2 = tuple(f"{i:02d}" for i in range(60))   # 2-digit zero-pad lookup
+_COMPANY_ARR = np.array([c for c, _ in COMPANIES], dtype=object)
+_CODE_ARR = np.array([c for _, c in COMPANIES], dtype=object)
+_TRANSFER_ARR = np.array(TRANSFER_CITIES, dtype=object)
+
+
+def page_responses_v1(urls: list[str]) -> tuple[np.ndarray, list, list]:
+    """Vectorized (statuses, errors, bodies) for a batch of v1 URLs —
+    bit-identical to ``(page_status(u), page_body(u))`` per URL (pinned
+    by tests/test_stages_unit.py), but derived with ONE md5 pass per
+    url/flight and numpy field math instead of per-flight dicts +
+    json.dumps.  This is the headline crawl's innermost loop: the md5
+    calls are the irreducible 'network' stand-in; everything else here
+    is O(batch) vector ops + one f-string per flight."""
+    import hashlib as _hl
+
+    n_urls = len(urls)
+    hexes = [_hl.md5(u.encode("utf-8")).hexdigest() for u in urls]
+    D = _hex_digit_matrix(hexes)
+    d0 = D[:, 0]
+    statuses = np.select([d0 == 0, d0 == 1, d0 == 2],
+                         [0, 403, 500], 200).astype(np.int32)
+    errors: list[str | None] = [None] * n_urls
+    bodies: list[bytes] = [b""] * n_urls
+    n_flights = np.where(d0 >= 3, 1 + D[:, 1] % 5, 0)
+
+    for i in np.nonzero(d0 == 0)[0]:
+        errors[i] = "timeout"
+    for code in (0, 1, 2):
+        for i in np.nonzero(d0 == code)[0]:
+            bodies[i] = _ERROR_BODIES[code]
+
+    ok = np.nonzero(d0 >= 3)[0]
+    if not len(ok):
+        return statuses, errors, bodies
+    counts = n_flights[ok]
+    # flat (page, flight) expansion; md5 per flight is the per-'request'
+    # cost, fields derive from the digit matrix in vector passes
+    page_of = np.repeat(np.arange(len(ok)), counts)
+    fidx = np.arange(len(page_of)) - np.repeat(np.cumsum(counts) - counts, counts)
+    fhex = [_hl.md5(f"{urls[ok[p]]}#{j}".encode("utf-8")).hexdigest()
+            for p, j in zip(page_of, fidx)]
+    F = _hex_digit_matrix(fhex)
+    comp_i = F[:, 0] % len(COMPANIES)
+    companies = _COMPANY_ARR[comp_i]
+    codes = _CODE_ARR[comp_i]
+    plane_num = 1000 + _hx_cols(F, 1, 5) % 9000
+    dep_h = _hx_cols(F, 5, 7) % 24
+    dep_m = (_hx_cols(F, 7, 9) % 12) * 5
+    dur = 60 + _hx_cols(F, 9, 11) % 180
+    end_tot = (dep_h * 60 + dep_m + dur) % 1440
+    price = 200 + _hx_cols(F, 11, 15) % 1800
+    disc = 20 + _hx_cols(F, 15, 17) % 80
+    d17 = F[:, 17]
+    transfer = _TRANSFER_ARR[F[:, 18]]
+    plane_t = F[:, 19] % 10
+    has_media = F[:, 20] == 0
+    icsf = F[:, 21] == 0
+
+    # remaining per-flight Python is ONE f-string over plain scalars:
+    # numpy-scalar indexing/formatting inside the loop (and int→"U2"
+    # astype casts) are 3-5× slower, so every array drops to a Python
+    # list and 2-digit zero-pads come from a lookup table
+    ftype = np.where(d17 < 3, "经停", np.where(d17 < 5, "联程", "直飞"))
+    ftrans = np.where(d17 < 5, transfer.astype("U8"), "")
+    z2 = _Z2
+    items = [
+        f'{{"company": "{co}", "company_no": "{cd}", "plane_no": "{cd}{pn}", '
+        f'"start_time": "{z2[sh]}:{z2[sm]}", '
+        f'"end_time": "{z2[et // 60]}:{z2[et % 60]}", '
+        f'"price": "{pr}", "discount": "{dc // 10}.{dc % 10}折", '
+        f'"flight_type": "{ft}", "flight_transfer": "{tr}", '
+        f'"plane_type": "73{pt}", '
+        f'"has_media": {"true" if hm else "false"}, '
+        f'"media_ref": "captcha://{fh[:16]}", '
+        f'"icsf": {"true" if ic else "false"}}}'
+        for co, cd, pn, sh, sm, et, pr, dc, ft, tr, pt, hm, fh, ic in zip(
+            companies.tolist(), codes.tolist(), plane_num.tolist(),
+            dep_h.tolist(), dep_m.tolist(), end_tot.tolist(),
+            price.tolist(), disc.tolist(),
+            ftype.tolist(), ftrans.tolist(), plane_t.tolist(),
+            has_media.tolist(), fhex, icsf.tolist())
+    ]
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for p in range(len(ok)):
+        lo, hi = int(starts[p]), int(starts[p + 1])
+        bodies[ok[p]] = ('{"fltitem": [' + ", ".join(items[lo:hi]) + "]}").encode("utf-8")
+    return statuses, errors, bodies
+
+
 # ---------------------------------------------------------------- vectorized helpers
 def day_strs(day_offsets: np.ndarray) -> np.ndarray:
     """Vectorized day_offset → 'YYYY-MM-DD' via numpy datetime64."""

@@ -206,6 +206,23 @@ def test_fetch_parse_roundtrip():
     assert set(dead["url"].to_pylist()) == set(u for u in urls if want[u][0] != 200)
 
 
+def test_vectorized_fetch_bit_identical_to_scalar():
+    """page_responses_v1 (the vectorized hot path fetch_batch uses by
+    default) must be BIT-identical — status, error, and full JSON body
+    — to the scalar page_status/page_body derivation the SQL oracle
+    mirrors, across every response branch (timeout/403/500/200 and
+    every flight-count)."""
+    urls = [f"https://h{i % 7}.test/vec{i}" for i in range(3000)]
+    st, err, bodies = synth.page_responses_v1(urls)
+    seen_status = set()
+    for i, u in enumerate(urls):
+        s, e, _n = synth.page_status(u)
+        assert (int(st[i]), err[i]) == (s, e)
+        assert bodies[i] == synth.page_body(u)
+        seen_status.add(s)
+    assert seen_status == {0, 403, 500, 200}   # every branch exercised
+
+
 def test_records_to_docs_structure():
     urls = [f"https://h.test/d{i}" for i in range(50)]
     fb = fetch_batch(_frontier_batch(urls))

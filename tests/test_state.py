@@ -126,6 +126,29 @@ def test_url_seen_snapshot_restore():
     assert not seen2.check_and_add(urls).any()
 
 
+def test_exact_seen_no_false_positives_at_load():
+    """The reason dedup_incremental moved off the cuckoo filter: at
+    high load a 16-bit-fingerprint filter false-positives on
+    never-seen keys, while the exact sorted-hash shards must not —
+    at ANY load.  60k inserts into 4 shards is well past the load
+    where cuckoo FPs become plausible (~60000/2^16 ≈ 0.9 expected
+    hits per 1000 probes per bucket fingerprint)."""
+    from __spider_ray.state.url_seen import ExactSeenSet
+
+    seen = ExactSeenSet(n_shards=4)
+    base = [f"doc-content-{i}" for i in range(60000)]
+    seen.add(base)
+    assert seen.count() == 60000
+    # every inserted key is found (no false negatives)
+    assert seen.contains(base[:5000]).all()
+    # zero false positives on a disjoint probe set
+    probe = [f"never-seen-{i}" for i in range(20000)]
+    assert not seen.contains(probe).any()
+    # idempotent re-insert
+    seen.add(base[:1000])
+    assert seen.count() == 60000
+
+
 def test_token_bucket_rate():
     now = 0.0
     b = TokenBucket(rate=10.0, burst=5.0, now=now)   # 10 tokens/s, burst 5
