@@ -519,9 +519,37 @@ def _media_frames(sf_dir: str):
 
 
 def _crawl_documents(sf_dir: str):
-    """Nested span docs (rows-only check; values verified via
-    crawl_spans' flat projection and pytest span-sequence tests)."""
-    return crawl.documents(sf_dir)
+    """The flagship interleaved span-doc output, oracle-checkable: each
+    doc's ordered span list (kind, text, media_ref, offset — the
+    input_hint's per-row span-sequence invariant) serialized to ONE
+    canonical string per doc (fields \\x1f-joined, spans \\x1e-joined),
+    so DuckDB can build the identical string with
+    string_agg(... ORDER BY offset) and the driver hash-checks the
+    engine's actual deliverable instead of row-counting it.  Span order
+    inside the nested list IS offset order by construction
+    (stages/spans.records_to_docs); the projection preserves it
+    verbatim — no re-sort on the Ray side."""
+    import numpy as np
+
+    def serialize(t: pa.Table) -> pa.Table:
+        spans = t["spans"].combine_chunks()
+        flat = spans.flatten()
+        piece = pa.compute.binary_join_element_wise(
+            flat.field("kind"),
+            pa.compute.fill_null(flat.field("text"), ""),
+            pa.compute.fill_null(flat.field("media_ref"), ""),
+            flat.field("offset").cast(pa.string()),
+            "\x1f")
+        offs = np.concatenate(
+            [[0], np.cumsum(np.asarray(spans.value_lengths(), dtype=np.int64))])
+        lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                       piece.combine_chunks()
+                                       if isinstance(piece, pa.ChunkedArray)
+                                       else piece)
+        return pa.table({"doc_id": t["doc_id"],
+                         "spans_seq": pa.compute.binary_join(lst, "\x1e")})
+
+    return crawl.documents(sf_dir).map_batches(serialize, batch_format="pyarrow")
 
 
 def _media_captions(sf_dir: str):
@@ -585,6 +613,13 @@ _CRAWL_SQL = {
                           "r.flight_type, f.lep_price, f.is_meal, f.baggage, "
                           "f.min_cabin_price "
                           "FROM records r JOIN fares f USING (host, plane_no, off_date)",
+    "crawl_documents": f"{osql.CRAWL_SPANS} "
+                       "SELECT doc_id, string_agg("
+                       "kind || chr(31) || coalesce(text, '') || chr(31) || "
+                       "coalesce(media_ref, '') || chr(31) || "
+                       'CAST("offset" AS VARCHAR), '
+                       'chr(30) ORDER BY "offset") AS spans_seq '
+                       "FROM spans GROUP BY doc_id",
 }
 
 
@@ -660,7 +695,8 @@ JOIN apdim a2 ON r.to_city_code = a2.ap_code"""
     register("crawl_cabins", _crawl_cabins, _CRAWL_SQL["crawl_cabins"])
     register("crawl_lowest_fare", _crawl_lowest_fare, _CRAWL_SQL["crawl_lowest_fare"])
     register("crawl_flights_full", _crawl_flights_full, _CRAWL_SQL["crawl_flights_full"])
-    register("crawl_documents", _crawl_documents, None)
+    register("crawl_documents", _crawl_documents,
+             _CRAWL_SQL["crawl_documents"])
 
     from . import relational  # noqa: F401  (registers TPC-H-ish operators)
     from . import textops     # noqa: F401  (dedup / text-analysis / knn)

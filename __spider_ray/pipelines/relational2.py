@@ -435,11 +435,14 @@ def q_knn_range(sf_dir: str, n_queries: int = 10, tau: float = KNN_RANGE_TAU):
     (tests assert the margin so a data regen that violates it fails
     loudly, not silently)."""
     from ..stages import knn as knn_mod
-    queries_ref = ray.put(knn_mod.load_queries(sf_dir, n_queries))
+    # query matrix ships as a VALUE in the constructor kwargs (≤100 KiB
+    # rides the actor-creation spec) — an ObjectRef here is the
+    # restart-fragility of ray#53727 (see stages/knn.BruteForceTopK)
+    queries = knn_mod.load_queries(sf_dir, n_queries)
 
     class RangeScorer:
-        def __init__(self, queries_ref, tau: float):
-            self.q_ids, self.Q = ray.get(queries_ref)
+        def __init__(self, queries, tau: float):
+            self.q_ids, self.Q = queries
             self.tau = tau
 
         def __call__(self, t: pa.Table) -> pa.Table:
@@ -456,7 +459,7 @@ def q_knn_range(sf_dir: str, n_queries: int = 10, tau: float = KNN_RANGE_TAU):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return ds.map_batches(RangeScorer,
-                          fn_constructor_kwargs={"queries_ref": queries_ref,
+                          fn_constructor_kwargs={"queries": queries,
                                                  "tau": tau},
                           batch_format="pyarrow", batch_size=4096,
                           concurrency=2, num_cpus=0.5)

@@ -84,11 +84,23 @@ def load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 class BruteForceTopK:
-    """Actor-pool stage: query matrix loaded once per actor from the
-    broadcast ref (``ray.put`` on the driver), matmul per batch."""
+    """Actor-pool stage: query matrix shipped once per actor IN the
+    constructor kwargs (plain value, not an ObjectRef), matmul per
+    batch.
 
-    def __init__(self, queries_ref, k: int):
-        self.q_ids, self.Q = ray.get(queries_ref)     # once per actor
+    Why a value and not ``ray.put``: an ObjectRef in actor constructor
+    args + the pool's default ``max_restarts=-1`` means a restart
+    FAILS if the driver-side ref was GC'd (ray#53727 — the warning the
+    round-3 bench tail carried), while ``max_restarts=0`` turns any
+    actor death into a job abort (verified: Ray Data does not re-run
+    an actor task on a replacement actor).  A ≤100 KiB query set rides
+    the actor-creation spec itself, so restarted actors re-materialize
+    it with no driver-side liveness dependency — same ship-once shape,
+    restart-safe.  A genuinely large broadcast side (≫100 KiB) should
+    instead be re-loaded from shared storage in ``__init__``."""
+
+    def __init__(self, queries, k: int):
+        self.q_ids, self.Q = queries                  # once per actor
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -125,11 +137,11 @@ def _merge_topk(k: int):
 def brute_force_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
                      concurrency: int = 2) -> ray.data.Dataset:
     """(query_id, vec_id, rank) — rank by cosine desc, tie vec_id asc."""
-    queries_ref = ray.put(load_queries(sf_dir, n_queries))
+    queries = load_queries(sf_dir, n_queries)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     local = ds.map_batches(BruteForceTopK,
-                           fn_constructor_kwargs={"queries_ref": queries_ref,
+                           fn_constructor_kwargs={"queries": queries,
                                                   "k": k},
                            batch_format="pyarrow", batch_size=4096,
                            concurrency=concurrency, num_cpus=0.5)

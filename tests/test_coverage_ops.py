@@ -210,6 +210,57 @@ def test_wav_codec_and_audio_features():
     assert media.synth_wav("captcha://x") == media.synth_wav("captcha://x")
 
 
+def test_actor_pool_survives_actor_death_mid_run():
+    """Round-3 verdict #3: a broadcast-carrying actor pool must survive
+    one of its actors dying mid-run.  The fix: constructor payloads are
+    plain VALUES in fn_constructor_kwargs (they ride the actor-creation
+    spec, so a restarted actor re-materializes them with no driver-ref
+    liveness dependency — ray#53727), and the pool keeps Ray Data's
+    default max_restarts=-1 (max_restarts=0 was verified to turn any
+    actor death into a whole-job abort).  One actor os._exit(1)s on its
+    first batch; the dataset must still produce every row, exactly
+    once."""
+    import os
+
+    import numpy as np
+    import ray
+    import ray.data
+
+    @ray.remote
+    class KillOnce:
+        def __init__(self):
+            self.done = False
+
+        def take(self) -> bool:
+            if not self.done:
+                self.done = True
+                return True
+            return False
+
+    flag = KillOnce.remote()
+
+    class Scorer:  # same shape as knn.BruteForceTopK: value payload + state
+        def __init__(self, queries):
+            self.add = queries
+            self.first = True
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.first:
+                self.first = False
+                if ray.get(flag.take.remote()):
+                    os._exit(1)          # simulated actor crash mid-batch
+            return pa.table(
+                {"x": pa.compute.add(t["x"], self.add)})
+
+    ds = ray.data.range(20000).map_batches(
+        lambda b: pa.table({"x": pa.array(b["id"])}), batch_format="numpy")
+    out = ds.map_batches(Scorer, fn_constructor_kwargs={"queries": np.int64(3)},
+                         batch_format="pyarrow", batch_size=1000,
+                         concurrency=2, num_cpus=0.5)
+    assert out.sum("x") == sum(range(20000)) + 3 * 20000
+    assert out.count() == 20000
+
+
 def test_video_frame_sampling():
     import numpy as np
 
