@@ -1369,18 +1369,21 @@ def q_events_quantiles(sf_dir: str):
                          "bucket": pa.array(b)})
 
     def quant_bucket(g: pa.Table) -> pa.Table:
-        et = np.asarray(g["event_type"].to_pandas(), dtype=object)
-        vc = np.asarray(g["value_c"].combine_chunks()).astype(np.int64)
-        if not len(et):
+        if not g.num_rows:
             return pa.table({"event_type": pa.array([], pa.string()),
                              **{f"p{int(q*100)}_cents": pa.array([], pa.int64())
                                 for q in qs}})
-        codes, uniq = __import__("pandas").factorize(et, sort=True)
+        # Arrow dictionary_encode instead of a pandas object-dtype
+        # factorize: no Python-object round-trip, codes stay int32
+        denc = pc.dictionary_encode(g["event_type"].combine_chunks())
+        codes = np.asarray(denc.indices).astype(np.int64)
+        vc = np.asarray(g["value_c"].combine_chunks()).astype(np.int64)
         order = np.lexsort((vc, codes))
         c_, v_ = codes[order], vc[order]
         starts = np.nonzero(np.r_[True, c_[1:] != c_[:-1]])[0]
         counts = np.diff(np.append(starts, len(c_)))
-        cols = {"event_type": pa.array(uniq.astype(str))}
+        cols = {"event_type": denc.dictionary.take(
+            pa.array(c_[starts], pa.int32()))}
         for q in qs:
             # quantile_disc: smallest element whose rank/n ≥ q
             idx = starts + np.ceil(q * counts).astype(np.int64) - 1

@@ -315,18 +315,24 @@ def q_text_tfidf(sf_dir: str, k: int = 5):
         return t.append_column("bucket", pa.array(b))
 
     def rank_doc(g: pa.Table) -> pa.Table:
-        import pandas as pd
-        d = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
-                          "term": g["term"].to_pylist(),
-                          "tf": g["tf"].to_numpy(),
-                          "df": g["df"].to_numpy()})
-        d["ratio"] = d["tf"] / d["df"]
-        d = d.sort_values(["doc_id", "ratio", "term"],
-                          ascending=[True, False, True], kind="mergesort")
-        d["rnk"] = d.groupby("doc_id").cumcount() + 1
-        d = d[d["rnk"] <= k].drop(columns=["ratio"])
-        return pa.Table.from_pandas(d, preserve_index=False).set_column(
-            4, "rnk", pa.array(d["rnk"].to_numpy().astype(np.int64)))
+        # Arrow multi-key sort instead of a pandas object-dtype
+        # DataFrame: strings never leave Arrow, no Python round-trip
+        ratio = pc.divide(pc.cast(g["tf"], pa.float64()),
+                          pc.cast(g["df"], pa.float64()))
+        tbl = g.append_column("ratio", ratio)
+        order = pc.sort_indices(tbl, sort_keys=[
+            ("doc_id", "ascending"), ("ratio", "descending"),
+            ("term", "ascending")])
+        s = tbl.take(order)
+        dids = s["doc_id"].to_numpy()
+        if not len(dids):
+            return g.append_column("rnk", pa.array([], pa.int64()))
+        first = np.r_[True, dids[1:] != dids[:-1]]
+        starts = np.nonzero(first)[0]
+        seg = np.cumsum(first) - 1
+        rnk = np.arange(len(dids), dtype=np.int64) - starts[seg] + 1
+        s = s.drop_columns(["ratio"]).append_column("rnk", pa.array(rnk))
+        return s.filter(pa.array(rnk <= k))
 
     return (ds.map_batches(tf_rows, batch_format="pyarrow")
               .map_batches(bucket_th, batch_format="pyarrow")
