@@ -67,9 +67,10 @@ def expand_detail_links(batch: pa.Table) -> pa.Table:
 
 
 def fetch_detail_batch(batch: pa.Table) -> pa.Table:
-    """Synthetic detail fetch: body = f(detail_url); always 200."""
-    urls = batch["url"].to_pylist()
-    bodies = [synth.detail_body(u) for u in urls]
+    """Synthetic detail fetch: body = f(detail_url); always 200.
+    Vectorized batch derivation (synth.detail_bodies), bit-identical to
+    the scalar ``synth.detail_body`` per URL."""
+    bodies = synth.detail_bodies(batch["url"].to_pylist())
     return batch.append_column("body", pa.array(bodies, type=pa.binary()))
 
 

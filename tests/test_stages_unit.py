@@ -223,6 +223,17 @@ def test_vectorized_fetch_bit_identical_to_scalar():
     assert seen_status == {0, 403, 500, 200}   # every branch exercised
 
 
+def test_vectorized_detail_bodies_bit_identical():
+    """synth.detail_bodies (the vectorized depth-1 fetch path) must be
+    bit-identical to the scalar detail_body derivation the SQL oracle
+    mirrors."""
+    urls = [synth.detail_url(f"h{i % 5}.test", f"CA{1000 + i}",
+                             f"2026-01-{1 + i % 28:02d}") for i in range(500)]
+    vec = synth.detail_bodies(urls)
+    assert vec == [synth.detail_body(u) for u in urls]
+    assert synth.detail_bodies([]) == []
+
+
 def test_records_to_docs_structure():
     urls = [f"https://h.test/d{i}" for i in range(50)]
     fb = fetch_batch(_frontier_batch(urls))
