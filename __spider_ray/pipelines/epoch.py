@@ -240,6 +240,7 @@ def run_crawl(
     verify_unique: bool = False,
     api: str = "v1",
     crawl_date: str | None = None,
+    overlap: bool = False,
     _fail_after_chunk: int | None = None,
 ) -> dict:
     """Run the full crawl; returns the final metrics dict.
@@ -251,9 +252,28 @@ def run_crawl(
     after its last complete chunk and re-fetches at most one in-flight
     chunk.  ``n_chunks=1`` keeps the single-pass fast path.
 
+    ``overlap=True`` (v1, n_chunks>1): STREAMING EPOCH OVERLAP — the
+    depth-1 detail pass consumes each chunk's link partition as soon as
+    that depth-0 chunk commits, instead of waiting for the full epoch
+    barrier.  The two depths run as concurrent Dataset executions (a
+    one-worker thread drains depth-1 serially, pipelined behind
+    depth-0), filling the CPU valleys each phase leaves (sort barrier,
+    ramp, straggler tail).  Crash-consistency is preserved by giving
+    each depth its OWN seen-set shard namespace: the URL spaces are
+    disjoint (/flightlist/ vs /detail/), so dedup semantics and the
+    union seen set are unchanged, while a depth-0 chunk snapshot can no
+    longer capture a concurrent depth-1 chunk's partial insertions
+    (which a resume would otherwise silently skip).  Chunk markers are
+    per (epoch, chunk) exactly as in the serial path; depth-1 chunk i
+    is only ever launched after depth-0 chunk i's commit, so every
+    committed e1 chunk's dependency is itself committed.
+
     ``_fail_after_chunk`` is a test hook simulating a crash right after
-    that chunk's commit.  Resuming requires the same ``n_chunks`` as
-    the interrupted run (the chunk hash-partitioning must line up)."""
+    that chunk's commit (in overlap mode: after the DEPTH-1 chunk's
+    commit — the trailing pass, so the crash leaves the interleaved
+    marker state overlap resume must handle).  Resuming requires the
+    same ``n_chunks`` (the chunk hash-partitioning must line up) and
+    the same ``overlap`` flag (the seen-snapshot namespaces differ)."""
     # api="v2" crawls the listCards format end-to-end through the same
     # state machinery (the reference's ctripSpider02 is a sibling spider
     # over the same seeds); the v2 API has no detail hop, so the crawl
@@ -280,6 +300,7 @@ def run_crawl(
     # mis-route the restored snapshots (h>>32 % n changes), silently
     # re-fetching URLs the old shards already claimed
     import json as _json
+    overlap = bool(overlap and api == "v1" and max_depth >= 1 and n_chunks > 1)
     run_marker = os.path.join(out_dir, "api.json")
     if os.path.exists(run_marker):
         prev = _json.load(open(run_marker))
@@ -292,9 +313,15 @@ def run_crawl(
                 f"output dir {out_dir} was crawled with n_seen_shards="
                 f"{prev.get('n_seen_shards')}; resume with the same value "
                 f"or pass resume=False")
+        if prev.get("overlap") not in (None, overlap):
+            raise ValueError(
+                f"output dir {out_dir} was crawled with overlap="
+                f"{prev.get('overlap')}; the seen-snapshot namespaces "
+                f"differ — resume with the same flag or pass resume=False")
     else:
         with open(run_marker, "w") as f:
-            _json.dump({"api": api, "n_seen_shards": n_seen_shards}, f)
+            _json.dump({"api": api, "n_seen_shards": n_seen_shards,
+                        "overlap": overlap}, f)
 
     # size the actor pools to the cluster: the chained pools (seen →
     # fetch) plus state actors must leave CPUs free for the read/sort/
@@ -355,14 +382,165 @@ def run_crawl(
         status_fn = body_fn = None
         parse_fn = parse.parse_batch
 
+    next_dir = os.path.join(out_dir, "frontier/epoch=1")
+    _no_retry = {"max_retries": 0, "retry_exceptions": False}
+
+    # ---------- per-chunk processors (shared by both schedulers) ----------
+    def _fresh(frontier, seen_set, *, sort: bool):
+        """1. priority shuffle (numeric key: host-hash high bits ⊕
+        priority low bits)  2. seen semi-join  3. robots mask.
+        The sort runs at depth 0 only: there it IS the crawl-order
+        contract (§2.6 O4) and the host-locality shuffle.  Depth-1
+        links inherit that locality for free — each link part is one
+        parse batch of a host-sorted pass — and detail fetch has no
+        ordering semantics, so re-sorting would be a pure all-to-all
+        tax (NOTES_r1 #3, the top scaling cost).
+        NO task-level retries on the fused pass: the seen filter's
+        test-and-set is not idempotent (a retried task would see its
+        own first attempt's hashes as "seen" and emit nothing,
+        silently losing the batch).  A task failure must fail the
+        PASS; recovery is the chunk commit/resume path, which restores
+        the seen snapshot of the last committed chunk and re-runs the
+        in-flight chunk exactly."""
+        ordered = frontier.sort("sort_key") if sort else frontier
+        return (
+            ordered
+            .map_batches(lambda b: seen_filter_batch(b, seen_set),
+                         batch_format="pyarrow",
+                         batch_size=fetch_batch_size,
+                         **_no_retry)
+            .map_batches(lambda b: _robots_filter(b, policy),
+                         batch_format="pyarrow",
+                         **_no_retry)
+        )
+
+    def _commit(epoch: int, chunk: int, seen_set, metrics: dict,
+                t0: float) -> None:
+        # shard actors write their own snapshot files in parallel
+        # (driver-serial snapshot pull + savez was ~2 s/commit)
+        state_dir = seen_set.snapshot_all_to(
+            ckpt.chunk_state_dir(out_dir, epoch, chunk))
+        t0 = _t(f"e{epoch}.c{chunk} snapshot", t0)
+        ckpt.commit_chunk(out_dir, epoch, chunk, metrics,
+                          state_dir=state_dir)
+        _t(f"e{epoch}.c{chunk} commit", t0)
+
+    def _process_chunk0(chunk: int, frontier, seen_set, totals_d: dict) -> None:
+        t0 = _time.perf_counter()
+        records_dir = os.path.join(out_dir, f"records/epoch=0/chunk={chunk}")
+        docs_dir = os.path.join(out_dir, f"docs/epoch=0/chunk={chunk}")
+        # links staged per-chunk: a re-run of an uncommitted chunk
+        # clears ITS dir wholesale, so shifted batch boundaries can
+        # never leave stale LINK parts behind
+        links_dir = os.path.join(next_dir, f"chunk={chunk}")
+        for d in (records_dir, docs_dir, links_dir):  # clear partial CHUNK
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
+        # ONE streaming pass: fetch → parse → side-write docs + links →
+        # records sink.  No mid-pipeline materialize.
+        (
+            _fresh(frontier, seen_set, sort=True)
+            .map_batches(
+                lambda b: fetch.fetch_with_policy(
+                    b, policy, status_fn=status_fn, body_fn=body_fn),
+                batch_format="pyarrow", batch_size=fetch_batch_size,
+                **_no_retry)
+            .map_batches(parse_fn, batch_format="pyarrow", **_no_retry)
+            .map_batches(lambda t: _side_write(t, docs_dir, links_dir,
+                                               links=api == "v1",
+                                               date=crawl_date),
+                         batch_format="pyarrow", **_no_retry)
+            .write_parquet(records_dir)
+        )
+        t0 = _t(f"e0.c{chunk} pass", t0)
+        n_rec = _count_parquet(records_dir)      # footer metadata only
+        # store-commit the staged doc parts: Lance when present,
+        # count-verify (A3) + distinct-doc_id idempotence check,
+        # manifest written (sources/doc_store.py)
+        from ..sources import doc_store
+        doc_commit = doc_store.commit_staged_documents(
+            docs_dir, unique_key="doc_id" if verify_unique else None)
+        t0 = _t(f"e0.c{chunk} doc-commit", t0)
+        n_docs = doc_commit["rows"]
+        totals_d["records"] += n_rec
+        totals_d["docs"] += n_docs
+        # the chunk marker below is the commit manifest: rows +
+        # lineage + filter snapshot (A3 invariant carrier)
+        metrics = {"records": n_rec, "docs": n_docs,
+                   "doc_commit": doc_commit, "totals": dict(totals_d)}
+        _commit(0, chunk, seen_set, metrics, t0)
+
+    def _process_chunk1(epoch: int, chunk: int, frontier, seen_set,
+                        totals_d: dict) -> None:
+        t0 = _time.perf_counter()
+        fares_dir = os.path.join(out_dir, f"fares/epoch={epoch}/chunk={chunk}")
+        shutil.rmtree(fares_dir, ignore_errors=True)
+        os.makedirs(fares_dir, exist_ok=True)   # zero-fare chunks commit empty
+        if frontier is not None:
+            (
+                _fresh(frontier, seen_set, sort=False)
+                .map_batches(lambda b: _detail_fetch(b, policy),
+                             batch_format="pyarrow",
+                             batch_size=fetch_batch_size, **_no_retry)
+                .map_batches(detail.parse_cabins_batch,
+                             batch_format="pyarrow", **_no_retry)
+                .map_batches(detail.lowest_fare_batch,
+                             batch_format="pyarrow", **_no_retry)
+                .write_parquet(fares_dir)
+            )
+        t0 = _t(f"e{epoch}.c{chunk} pass", t0)
+        n_fares = _count_parquet(fares_dir)
+        totals_d["fares"] += n_fares
+        metrics = {"fares": n_fares, "totals": dict(totals_d)}
+        _commit(epoch, chunk, seen_set, metrics, t0)
+
+    def _commit_epoch(epoch: int, seen_set, extra_seen_stats=None) -> None:
+        stats = seen_set.stats() + (extra_seen_stats or [])
+        epoch_metrics = {"totals": dict(totals), "seen_stats": stats,
+                         "policy_stats": policy.stats()}
+        # the seen set hasn't changed since the final chunk's commit —
+        # hardlink that snapshot instead of re-pulling every shard
+        t0 = _time.perf_counter()
+        ckpt.commit_epoch(out_dir, epoch, epoch_metrics,
+                          reuse_state_dir=ckpt.chunk_state_dir(
+                              out_dir, epoch, n_chunks - 1))
+        ckpt.drop_chunk_state(out_dir, epoch)
+        _t(f"e{epoch} epoch-commit", t0)
+
+    def _depth0_frontier():
+        # from_date/to_date select an absolute day-offset window
+        # (expand.day_window, ctripSpider.py:148-153); n_days is the
+        # rolling-horizon default
+        f = expand.frontier_dataset(sf_dir, n_days or synth.N_DAYS,
+                                    path=url_path,
+                                    from_date=from_date, to_date=to_date)
+        if salt_hot:
+            # sort_key is only consumed by the depth-0 sort; salting
+            # the link frontier would be a wasted driver-side aggregate
+            # + rekey pass (the depth-1 sort is skipped)
+            f = salt_hot_hosts(f)
+        if n_chunks > 1:
+            # pin the expanded frontier in the object store once: the
+            # per-chunk filters otherwise re-run the whole seed read +
+            # expansion lazily for EVERY chunk (n_chunks× the compute);
+            # blocks spill to disk under pressure, so this stays safe
+            # at scale
+            f = f.materialize()
+        return f
+
+    if overlap:
+        return _run_overlapped(
+            out_dir=out_dir, n_chunks=n_chunks, n_seen_shards=n_seen_shards,
+            seen_buckets=seen_buckets, seen0=seen, policy=policy,
+            totals=totals, resume=resume,
+            depth0_frontier=_depth0_frontier, chunk_filter=_chunk_filter,
+            process_chunk0=_process_chunk0, process_chunk1=_process_chunk1,
+            commit_epoch=_commit_epoch, timing=_t,
+            fail_after_chunk=_fail_after_chunk)
+
     for epoch in range(start_epoch, max_depth + 1):
         if epoch == 0:
-            # from_date/to_date select an absolute day-offset window
-            # (expand.day_window, ctripSpider.py:148-153); n_days is
-            # the rolling-horizon default
-            frontier_full = expand.frontier_dataset(
-                sf_dir, n_days or synth.N_DAYS, path=url_path,
-                from_date=from_date, to_date=to_date)
+            frontier_full = _depth0_frontier()
         else:
             fdir = os.path.join(out_dir, f"frontier/epoch={epoch}")
             if not os.path.exists(fdir):
@@ -375,18 +553,8 @@ def run_crawl(
             frontier_full = frontier_full.map_batches(
                 lambda t: t.drop_columns(["chunk"]) if "chunk" in t.column_names else t,
                 batch_format="pyarrow")
-        if salt_hot and epoch == 0:
-            # sort_key is only consumed by the depth-0 sort; salting the
-            # link frontier would be a wasted driver-side aggregate +
-            # rekey pass (the depth-1 sort is skipped below)
-            frontier_full = salt_hot_hosts(frontier_full)
-        if n_chunks > 1:
-            # pin the expanded frontier in the object store once: the
-            # per-chunk filters otherwise re-run the whole seed read +
-            # expansion lazily for EVERY chunk (n_chunks× the compute);
-            # blocks spill to disk under pressure, so this stays safe
-            # at scale
-            frontier_full = frontier_full.materialize()
+            if n_chunks > 1:
+                frontier_full = frontier_full.materialize()
 
         done = set(ckpt.complete_chunks(out_dir, epoch)) if resume else set()
         if done:
@@ -398,7 +566,6 @@ def run_crawl(
             totals.update(ckpt.read_chunk_marker(out_dir, epoch, last)
                           .get("totals", totals))
 
-        next_dir = os.path.join(out_dir, "frontier/epoch=1")
         if epoch == 0 and not done:
             shutil.rmtree(next_dir, ignore_errors=True)
         os.makedirs(next_dir, exist_ok=True)
@@ -410,126 +577,133 @@ def run_crawl(
                 frontier_full.map_batches(
                     lambda t, c=chunk: _chunk_filter(t, c),
                     batch_format="pyarrow")
-
-            # 1. priority shuffle (numeric key: host-hash high bits ⊕
-            #    priority low bits)  2. seen semi-join  3. robots mask
-            # The sort runs at depth 0 only: there it IS the crawl-order
-            # contract (§2.6 O4) and the host-locality shuffle.  Depth-1
-            # links inherit that locality for free — each link part is
-            # one parse batch of a host-sorted pass — and detail fetch
-            # has no ordering semantics, so re-sorting would be a pure
-            # all-to-all tax (NOTES_r1 #3, the top scaling cost).
-            ordered = frontier.sort("sort_key") if epoch == 0 else frontier
-            # NO task-level retries on the fused pass: the seen filter's
-            # test-and-set is not idempotent (a retried task would see
-            # its own first attempt's hashes as "seen" and emit nothing,
-            # silently losing the batch).  A task failure must fail the
-            # PASS; recovery is the chunk commit/resume path, which
-            # restores the seen snapshot of the last committed chunk and
-            # re-runs the in-flight chunk exactly.
-            _no_retry = {"max_retries": 0, "retry_exceptions": False}
-            fresh = (
-                ordered
-                .map_batches(lambda b: seen_filter_batch(b, seen),
-                             batch_format="pyarrow",
-                             batch_size=fetch_batch_size,
-                             **_no_retry)
-                .map_batches(lambda b: _robots_filter(b, policy),
-                             batch_format="pyarrow",
-                             **_no_retry)
-            )
-
-            t0 = _time.perf_counter()
             if epoch == 0:
-                records_dir = os.path.join(
-                    out_dir, f"records/epoch={epoch}/chunk={chunk}")
-                docs_dir = os.path.join(
-                    out_dir, f"docs/epoch={epoch}/chunk={chunk}")
-                # links staged per-chunk: a re-run of an uncommitted
-                # chunk clears ITS dir wholesale, so shifted batch
-                # boundaries can never leave stale LINK parts behind
-                links_dir = os.path.join(next_dir, f"chunk={chunk}")
-                for d in (records_dir, docs_dir, links_dir):  # clear partial CHUNK
-                    shutil.rmtree(d, ignore_errors=True)
-                    os.makedirs(d, exist_ok=True)
-                # ONE streaming pass: fetch → parse → side-write docs +
-                # links → records sink.  No mid-pipeline materialize.
-                (
-                    fresh.map_batches(
-                        lambda b: fetch.fetch_with_policy(
-                            b, policy, status_fn=status_fn, body_fn=body_fn),
-                        batch_format="pyarrow", batch_size=fetch_batch_size,
-                        **_no_retry)
-                    .map_batches(parse_fn, batch_format="pyarrow",
-                                 **_no_retry)
-                    .map_batches(lambda t: _side_write(t, docs_dir, links_dir,
-                                                       links=api == "v1",
-                                                       date=crawl_date),
-                                 batch_format="pyarrow",
-                                 **_no_retry)
-                    .write_parquet(records_dir)
-                )
-                t0 = _t(f"e0.c{chunk} pass", t0)
-                n_rec = _count_parquet(records_dir)      # footer metadata only
-                # store-commit the staged doc parts: Lance when present,
-                # count-verify (A3) + distinct-doc_id idempotence check,
-                # manifest written (sources/doc_store.py)
-                from ..sources import doc_store
-                doc_commit = doc_store.commit_staged_documents(
-                    docs_dir, unique_key="doc_id" if verify_unique else None)
-                t0 = _t(f"e0.c{chunk} doc-commit", t0)
-                n_docs = doc_commit["rows"]
-                totals["records"] += n_rec
-                totals["docs"] += n_docs
-                # the chunk marker below is the commit manifest: rows +
-                # lineage + filter snapshot (A3 invariant carrier)
-                metrics = {"records": n_rec, "docs": n_docs,
-                           "doc_commit": doc_commit, "totals": dict(totals)}
+                _process_chunk0(chunk, frontier, seen, totals)
             else:
-                fares_dir = os.path.join(
-                    out_dir, f"fares/epoch={epoch}/chunk={chunk}")
-                shutil.rmtree(fares_dir, ignore_errors=True)
-                os.makedirs(fares_dir, exist_ok=True)   # zero-fare chunks commit empty
-                (
-                    fresh.map_batches(
-                        lambda b: _detail_fetch(b, policy),
-                        batch_format="pyarrow", batch_size=fetch_batch_size,
-                        **_no_retry)
-                    .map_batches(detail.parse_cabins_batch,
-                                 batch_format="pyarrow",
-                                 **_no_retry)
-                    .map_batches(detail.lowest_fare_batch,
-                                 batch_format="pyarrow",
-                                 **_no_retry)
-                    .write_parquet(fares_dir)
-                )
-                t0 = _t(f"e{epoch}.c{chunk} pass", t0)
-                n_fares = _count_parquet(fares_dir)
-                totals["fares"] += n_fares
-                metrics = {"fares": n_fares, "totals": dict(totals)}
-
-            # shard actors write their own snapshot files in parallel
-            # (driver-serial snapshot pull + savez was ~2 s/commit)
-            state_dir = seen.snapshot_all_to(
-                ckpt.chunk_state_dir(out_dir, epoch, chunk))
-            t0 = _t(f"e{epoch}.c{chunk} snapshot", t0)
-            ckpt.commit_chunk(out_dir, epoch, chunk, metrics,
-                              state_dir=state_dir)
-            _t(f"e{epoch}.c{chunk} commit", t0)
+                _process_chunk1(epoch, chunk, frontier, seen, totals)
             if _fail_after_chunk is not None and chunk >= _fail_after_chunk:
                 raise RuntimeError(
                     f"simulated crash after epoch {epoch} chunk {chunk}")
 
-        epoch_metrics = {"totals": dict(totals), "seen_stats": seen.stats(),
-                         "policy_stats": policy.stats()}
-        # the seen set hasn't changed since the final chunk's commit —
-        # hardlink that snapshot instead of re-pulling every shard
-        t0 = _time.perf_counter()
-        ckpt.commit_epoch(out_dir, epoch, epoch_metrics,
-                          reuse_state_dir=ckpt.chunk_state_dir(
-                              out_dir, epoch, n_chunks - 1))
-        ckpt.drop_chunk_state(out_dir, epoch)
-        _t(f"e{epoch} epoch-commit", t0)
+        _commit_epoch(epoch, seen)
 
     return {"last_epoch": ckpt.last_complete_epoch(out_dir), "totals": totals,
             "seen": seen.stats(), "policy": policy.stats()}
+
+
+def _run_overlapped(*, out_dir: str, n_chunks: int, n_seen_shards: int,
+                    seen_buckets: int, seen0: UrlSeenSet, policy,
+                    totals: dict, resume: bool,
+                    depth0_frontier, chunk_filter, process_chunk0,
+                    process_chunk1, commit_epoch, timing,
+                    fail_after_chunk: int | None) -> dict:
+    """The streaming-epoch-overlap scheduler (see run_crawl docstring).
+
+    Depth-0 chunks run in the caller thread; a ONE-worker thread drains
+    depth-1 chunks serially in commit order, each launched only after
+    its depth-0 producer chunk committed.  Two concurrent Dataset
+    executions share the cluster — depth-1 tasks fill the CPU valleys
+    of depth-0's sort barrier / ramp / straggler tail (measured: the
+    depth-0 pass averages ~1/3 CPU utilization at 32 CPUs).
+
+    Crash-consistency: each depth owns its seen-set shard namespace
+    (``seen0`` = list URLs, ``seen1`` = detail URLs — disjoint URL
+    spaces, so the union seen set and all dedup semantics match the
+    serial path).  A depth-0 chunk snapshot therefore never captures a
+    concurrent depth-1 chunk's partial insertions; resume restores each
+    depth from ITS last committed chunk independently.  Totals keys are
+    also per-depth (records/docs vs fares): resume reads each key group
+    only from its own depth's marker, so a merged snapshot written
+    mid-overlap can't leak a torn value across depths.
+    """
+    import concurrent.futures as _cf
+    import time as _time
+
+    import ray.data  # noqa: F401  (thread uses Dataset ops)
+
+    seen1 = UrlSeenSet(n_shards=n_seen_shards, n_buckets=seen_buckets)
+
+    if resume and ckpt.last_complete_epoch(out_dir) >= 1:
+        stored = ckpt.read_marker(out_dir, 1).get("totals", {})
+        totals.update(stored)
+        return {"last_epoch": 1, "totals": totals,
+                "seen": seen0.stats() + seen1.stats(),
+                "policy": policy.stats()}
+
+    done0 = set(ckpt.complete_chunks(out_dir, 0)) if resume else set()
+    done1 = set(ckpt.complete_chunks(out_dir, 1)) if resume else set()
+    epoch0_done = resume and ckpt.last_complete_epoch(out_dir) >= 0
+
+    # per-depth restores: each depth's seen shards and totals keys come
+    # from ITS OWN last committed marker only
+    if epoch0_done:
+        seen0.restore_all(ckpt.load_seen_snapshots(out_dir, 0, n_seen_shards))
+        m = ckpt.read_marker(out_dir, 0).get("totals", {})
+        totals["records"] = m.get("records", 0)
+        totals["docs"] = m.get("docs", 0)
+        done0 = set(range(n_chunks))
+    elif done0:
+        last0 = max(done0)
+        seen0.restore_all(ckpt.load_chunk_snapshots(out_dir, 0, last0,
+                                                    n_seen_shards))
+        m = ckpt.read_chunk_marker(out_dir, 0, last0).get("totals", {})
+        totals["records"] = m.get("records", 0)
+        totals["docs"] = m.get("docs", 0)
+    if done1:
+        last1 = max(done1)
+        seen1.restore_all(ckpt.load_chunk_snapshots(out_dir, 1, last1,
+                                                    n_seen_shards))
+        totals["fares"] = ckpt.read_chunk_marker(out_dir, 1, last1) \
+            .get("totals", {}).get("fares", 0)
+    else:
+        totals["fares"] = 0
+
+    next_dir = os.path.join(out_dir, "frontier/epoch=1")
+    if not done0:
+        shutil.rmtree(next_dir, ignore_errors=True)
+    os.makedirs(next_dir, exist_ok=True)
+
+    frontier_full = depth0_frontier() if len(done0) < n_chunks else None
+
+    def _e1(chunk: int) -> None:
+        link_dir = os.path.join(next_dir, f"chunk={chunk}")
+        has_parts = os.path.isdir(link_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(link_dir))
+        frontier = ray.data.read_parquet(link_dir) if has_parts else None
+        process_chunk1(1, chunk, frontier, seen1, totals)
+        if fail_after_chunk is not None and chunk >= fail_after_chunk:
+            raise RuntimeError(
+                f"simulated crash after epoch 1 chunk {chunk} (overlap)")
+
+    ex = _cf.ThreadPoolExecutor(max_workers=1,
+                                thread_name_prefix="spider-e1")
+    futures: list[_cf.Future] = []
+
+    def _raise_if_failed(wait: bool) -> None:
+        for f in list(futures):
+            if wait or f.done():
+                exc = f.exception()      # blocks when wait=True
+                if exc is not None:
+                    ex.shutdown(wait=False, cancel_futures=True)
+                    raise exc
+                futures.remove(f)
+
+    try:
+        for chunk in range(n_chunks):
+            if chunk not in done0:
+                frontier = frontier_full.map_batches(
+                    lambda t, c=chunk: chunk_filter(t, c),
+                    batch_format="pyarrow")
+                process_chunk0(chunk, frontier, seen0, totals)
+            if chunk not in done1:
+                futures.append(ex.submit(_e1, chunk))
+            _raise_if_failed(wait=False)
+        if not epoch0_done:
+            commit_epoch(0, seen0)
+        _raise_if_failed(wait=True)
+    finally:
+        ex.shutdown(wait=True, cancel_futures=True)
+    commit_epoch(1, seen1, extra_seen_stats=seen0.stats())
+
+    return {"last_epoch": ckpt.last_complete_epoch(out_dir), "totals": totals,
+            "seen": seen0.stats() + seen1.stats(), "policy": policy.stats()}
