@@ -167,6 +167,10 @@ def salt_hot_hosts(frontier: "ray.data.Dataset", hot_fraction: float = 0.05,
     return frontier.map_batches(salt, batch_format="pyarrow")
 
 
+# the only columns the depth-1 pass reads from the link frontier
+_DETAIL_COLS = ["url", "host", "plane_no", "off_date"]
+
+
 def _detail_fetch(batch: pa.Table, policy: HostPolicyClient | None) -> pa.Table:
     # same per-host sub-batch pacing as the list fetch (stages/fetch.py)
     return fetch.paced_fetch(batch, policy, detail.fetch_detail_batch)
@@ -446,6 +450,11 @@ def run_crawl(
                 batch_format="pyarrow", batch_size=fetch_batch_size,
                 **_no_retry)
             .map_batches(parse_fn, batch_format="pyarrow", **_no_retry)
+            # side_write keeps the DEFAULT batch size deliberately: in a
+            # fused chain it receives the task's whole concatenated
+            # parse output (measured), so page rows stay contiguous and
+            # complete — an explicit batch_size would slice mid-page and
+            # split docs across parts (duplicate doc_ids)
             .map_batches(lambda t: _side_write(t, docs_dir, links_dir,
                                                links=api == "v1",
                                                date=crawl_date),
@@ -546,13 +555,14 @@ def run_crawl(
             if not os.path.exists(fdir):
                 break
             from ..stages.expand import _default_blocks
+            # prune at the read: the detail pass touches only these four
+            # columns (url for seen/fetch, host for robots/pacing,
+            # plane_no/off_date for the fare key) — seed provenance and
+            # sort_key stay on disk.  Explicit columns also excludes the
+            # hive-partition `chunk` column the recursive read would add.
             frontier_full = ray.data.read_parquet(
-                fdir, override_num_blocks=_default_blocks())
-            # links live in per-chunk subdirs (orphan hygiene); drop the
-            # hive-partition column the recursive read adds
-            frontier_full = frontier_full.map_batches(
-                lambda t: t.drop_columns(["chunk"]) if "chunk" in t.column_names else t,
-                batch_format="pyarrow")
+                fdir, columns=_DETAIL_COLS,
+                override_num_blocks=_default_blocks())
             if n_chunks > 1:
                 frontier_full = frontier_full.materialize()
 
@@ -669,7 +679,8 @@ def _run_overlapped(*, out_dir: str, n_chunks: int, n_seen_shards: int,
         link_dir = os.path.join(next_dir, f"chunk={chunk}")
         has_parts = os.path.isdir(link_dir) and any(
             f.endswith(".parquet") for f in os.listdir(link_dir))
-        frontier = ray.data.read_parquet(link_dir) if has_parts else None
+        frontier = ray.data.read_parquet(link_dir, columns=_DETAIL_COLS) \
+            if has_parts else None
         process_chunk1(1, chunk, frontier, seen1, totals)
         if fail_after_chunk is not None and chunk >= fail_after_chunk:
             raise RuntimeError(
