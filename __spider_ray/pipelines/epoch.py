@@ -187,7 +187,7 @@ def _e1_block_mult() -> int:
     shaving a tail.  So: ×1 at ≤8 CPUs, ×4 at ≥32, capped (block
     count is bounded by data size on a real cluster anyway)."""
     ov = os.environ.get("GRAFT_E1_BLOCK_MULT")
-    if ov is not None:
+    if ov:
         return max(1, int(ov))
     cpus = int(ray.cluster_resources().get("CPU", 8))
     return max(1, min(4, cpus // 8))
@@ -245,12 +245,49 @@ def _side_write(records: pa.Table, docs_dir: str, links_dir: str,
     return records
 
 
+def _auto_seen_shards(total_cpus: int) -> int:
+    """Seen-shard count scales with the cluster (power of two for the
+    ``h >> 32 % n`` routing): 4 shards serialize all membership
+    traffic through 0.4 CPUs — fine at 8 CPUs, a fixed choke point at
+    32+ where the fused fetch chain can outrun them.  Each shard costs
+    only num_cpus=0.1, so scaling the pool is nearly free."""
+    n = 4
+    while n * 4 < total_cpus:
+        n <<= 1
+    return n
+
+
+def _auto_seen_buckets(sf_dir: str, days: int, n_shards: int,
+                       bucket_size: int = 4) -> int:
+    """Size each cuckoo shard for ≤ ~1/3 load at the EXPECTED key
+    volume.  Above ~50% load the vectorized append path starts
+    overflowing into the per-item eviction walk and inserts go
+    superlinear — measured on the 360-day sf0.1 job: 13.9 M keys in
+    the old fixed 16.8 M slots (83% load) blew the 32-CPU epoch passes
+    from 20 s to 116 s.  The estimate is seeds × days (depth-0) × 3
+    (detail links run ≈ 1.6× depth-0; 2× margin) × 3 slots per key,
+    floored at the old 2^20 default so small crawls are unchanged.
+    At a 10^10-URL frontier the same rule just says: provision the
+    shard fleet for the frontier you plan to crawl (~5 B/key)."""
+    import pyarrow.parquet as pq
+    floor = 1 << 20
+    try:
+        n_seeds = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    except Exception:
+        return floor
+    per_shard = (n_seeds * days * 3 * 3) // (bucket_size * n_shards)
+    n = floor
+    while n < per_shard:
+        n <<= 1
+    return n
+
+
 def run_crawl(
     sf_dir: str,
     out_dir: str,
     *,
-    n_seen_shards: int = 4,
-    seen_buckets: int = 1 << 20,
+    n_seen_shards: int | None = None,
+    seen_buckets: int | None = None,
     delay_s: float = 0.0,
     burst: int = 6,
     fetch_concurrency: int | None = None,
@@ -326,6 +363,8 @@ def run_crawl(
     # mis-route the restored snapshots (h>>32 % n changes), silently
     # re-fetching URLs the old shards already claimed
     import json as _json
+    import ray as _ray
+    total_cpus = int(_ray.cluster_resources().get("CPU", 8))
     overlap = bool(overlap and api == "v1" and max_depth >= 1 and n_chunks > 1)
     run_marker = os.path.join(out_dir, "api.json")
     if os.path.exists(run_marker):
@@ -334,7 +373,12 @@ def run_crawl(
             raise ValueError(
                 f"output dir {out_dir} was crawled with api={prev.get('api')!r}; "
                 f"resume with the same api or pass resume=False")
-        if prev.get("n_seen_shards") not in (None, n_seen_shards):
+        if n_seen_shards is None:
+            # auto mode adopts the dir's committed layout — snapshots
+            # are routed by h>>32 % n, so the count must not drift
+            n_seen_shards = prev.get("n_seen_shards") or \
+                _auto_seen_shards(total_cpus)
+        elif prev.get("n_seen_shards") not in (None, n_seen_shards):
             raise ValueError(
                 f"output dir {out_dir} was crawled with n_seen_shards="
                 f"{prev.get('n_seen_shards')}; resume with the same value "
@@ -344,7 +388,16 @@ def run_crawl(
                 f"output dir {out_dir} was crawled with overlap="
                 f"{prev.get('overlap')}; the seen-snapshot namespaces "
                 f"differ — resume with the same flag or pass resume=False")
-    else:
+    if n_seen_shards is None:
+        n_seen_shards = _auto_seen_shards(total_cpus)
+    if seen_buckets is None:
+        from .. import synth as _synth_sz
+        days = n_days if n_days is not None else (
+            (to_date - from_date + 1)
+            if (from_date is not None and to_date is not None)
+            else _synth_sz.N_DAYS)
+        seen_buckets = _auto_seen_buckets(sf_dir, days, n_seen_shards)
+    if not os.path.exists(run_marker):
         with open(run_marker, "w") as f:
             _json.dump({"api": api, "n_seen_shards": n_seen_shards,
                         "overlap": overlap}, f)
@@ -354,8 +407,6 @@ def run_crawl(
     # write TASKS, or the streaming executor starves (a pool that
     # reserves every CPU deadlocks the pipeline).  Budget ≈ half the
     # CPUs to pools at 0.5 each.
-    import ray as _ray
-    total_cpus = int(_ray.cluster_resources().get("CPU", 8))
     if fetch_concurrency is None:
         fetch_concurrency = max(1, total_cpus // 4)
 
