@@ -938,6 +938,30 @@ def q_cm_token_freq(sf_dir: str):
               .map_groups(merge_and_probe, batch_format="pyarrow"))
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Grouped APPROX quantiles (p50/p90/p99 of value per event type)
+    via a DDSketch-style log-bucket sketch (Masson et al. 2019):
+    per-batch (group, bucket, n) partials bounded by the value
+    domain's log-resolution, summed through one groupby — never a
+    per-group sort, never (group, value) rows on the wire.  Rows-only
+    (an estimator can't hash-match SQL); tests pin the alpha
+    relative-error guarantee against exact rank statistics and the
+    exact-merge property.  The EXACT grouped quantiles live in
+    ``rel_events_quantiles`` (oracle); this is the sketch the same
+    report would use at 100 TB."""
+    from ..stages import sketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return (ds.map_batches(
+                lambda t: sketch.dd_partial_batch(t, "event_type", "value"),
+                batch_format="pyarrow")
+              .groupby("event_type")
+              .map_groups(
+                lambda g: sketch.dd_quantiles_group(g, "event_type"),
+                batch_format="pyarrow"))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (GPT-3 App. C style n-gram overlap):
     flag every corpus doc sharing ≥1 distinct word 4-gram with the
@@ -1092,6 +1116,7 @@ register("text_segment_dedup", q_segment_dedup, SQL_SEGMENT_DEDUP)
 register("agg_approx_distinct", q_approx_distinct, None)
 register("text_repetition", q_repetition, SQL_REPETITION)
 register("agg_cm_token_freq", q_cm_token_freq, None)
+register("agg_approx_quantiles", q_approx_quantiles, None)
 register("dedup_semantic", lambda sf: knn_mod.semantic_dedup(sf), None)
 register("pipeline_corpus_build", q_corpus_build, None)
 register("dedup_incremental", q_dedup_incremental, SQL_DEDUP_INCREMENTAL)

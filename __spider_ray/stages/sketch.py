@@ -148,3 +148,85 @@ def cm_query(cm: np.ndarray, keys) -> np.ndarray:
         idx = (hash64_ints(base, seed=r + 1) % np.uint64(w)).astype(np.int64)
         est = np.minimum(est, cm[r][idx])
     return est
+
+
+# --------------------------------------------------- DDSketch quantiles
+# Log-bucket quantile sketch with a RELATIVE-error guarantee (the
+# DDSketch construction, Masson et al., arXiv:1908.10693): bucket
+# ``ceil(log_gamma(x))`` with gamma = (1+alpha)/(1-alpha) puts every
+# positive value in a bucket whose midpoint estimate is within alpha
+# of it.  Bucket-count vectors are a commutative monoid (elementwise
+# sum), so per-block partials from any partitioning merge exactly —
+# the grouped-quantile analog of the HLL/count-min shapes above: at
+# 100 TB the corpus ships (group, bucket, n) rows bounded by the
+# VALUE DOMAIN's log-resolution (~a few thousand buckets across the
+# whole float64 range at alpha=0.01), never (group, value) pairs.
+DD_ALPHA = 0.01
+_DD_BAND = np.int64(1) << np.int64(40)     # |bucket| < 2^40 for any float64
+
+
+def _dd_log_gamma(alpha: float) -> float:
+    return float(np.log((1.0 + alpha) / (1.0 - alpha)))
+
+
+def dd_partial_batch(t: pa.Table, key_col: str, val_col: str,
+                     alpha: float = DD_ALPHA) -> pa.Table:
+    """Batch → (key, band, bkt, n) bucket-count rows.
+
+    band ∈ {-1, 0, 1} (negative / zero / positive values); within a
+    band the stored ``bkt`` is monotone in the VALUE (negatives store
+    the NEGATED magnitude bucket), so lexicographic (band, bkt) order
+    is global value order and quantile reconstruction is one cumsum.
+    """
+    v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    lg = _dd_log_gamma(alpha)
+    band = np.sign(v).astype(np.int64)
+    idx = np.zeros(len(v), dtype=np.int64)
+    pos, neg = v > 0, v < 0
+    with np.errstate(divide="ignore"):
+        idx[pos] = np.ceil(np.log(v[pos]) / lg).astype(np.int64)
+        idx[neg] = -np.ceil(np.log(-v[neg]) / lg).astype(np.int64)
+    g = (pa.table({key_col: t[key_col],
+                   "band": pa.array(band), "bkt": pa.array(idx)})
+           .group_by([key_col, "band", "bkt"])
+           .aggregate([([], "count_all")]))
+    return g.rename_columns([key_col, "band", "bkt", "n"])
+
+
+def dd_quantiles_group(g: pa.Table, key_col: str,
+                       qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                       alpha: float = DD_ALPHA) -> pa.Table:
+    """Merge one group's bucket partials and read off quantiles.
+
+    Merge = sum counts per (band, bkt) — np.unique over the composite
+    monotone key, one bincount.  Quantile q = the bucket containing
+    sorted rank ceil(q·N); estimate = the bucket midpoint
+    2·gamma^m/(gamma+1), within alpha relative error of the true
+    value at that rank.
+    """
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    band = g["band"].to_numpy(zero_copy_only=False)
+    bkt = g["bkt"].to_numpy(zero_copy_only=False)
+    n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sk = band * _DD_BAND + bkt                 # monotone in value
+    uk, inv = np.unique(sk, return_inverse=True)
+    cnt = np.bincount(inv, weights=n).astype(np.int64)
+    cum = np.cumsum(cnt)
+    total = int(cum[-1])
+    out: dict[str, list] = {key_col: [g[key_col][0].as_py()]}
+    for q in qs:
+        rank = max(1, int(np.ceil(q * total)))
+        i = int(np.searchsorted(cum, rank))
+        k = int(uk[i])
+        # bkt may be NEGATIVE (values with |x| < 1), so the composite
+        # decode is round-to-nearest-multiple, not plain floor-div
+        b = (k + (1 << 39)) >> 40
+        m = k - b * _DD_BAND                   # stored bucket
+        if b == 0:
+            est = 0.0
+        elif b > 0:
+            est = 2.0 * gamma ** m / (gamma + 1.0)
+        else:
+            est = -2.0 * gamma ** (-m) / (gamma + 1.0)
+        out[f"p{int(q * 100)}"] = [est]
+    return pa.table(out)

@@ -656,3 +656,78 @@ def test_corpus_build_composite(ray_session):
         off = np.cumsum(grp.sort_values("seq_pos")["tok_n"].to_numpy())
         assert (grp.sort_values("seq_pos")["tok_offset"].to_numpy()
                 == np.append(0, off[:-1])).all()
+
+
+def test_dd_sketch_relative_error_bound():
+    """The DDSketch guarantee: each reported quantile is within alpha
+    relative error of the EXACT value at rank ceil(q*N) — checked on
+    a skewed positive distribution plus zeros and negatives."""
+    import numpy as np
+    import pyarrow as pa
+
+    from __spider_ray.stages import sketch
+
+    rng = np.random.RandomState(3)
+    v = np.concatenate([
+        np.exp(rng.normal(2.0, 1.5, size=30_000)),          # lognormal
+        -np.exp(rng.normal(0.0, 1.0, size=5_000)),          # negatives
+        np.zeros(500),
+    ])
+    rng.shuffle(v)
+    t = pa.table({"k": pa.array(["g"] * len(v)), "value": pa.array(v)})
+    part = sketch.dd_partial_batch(t, "k", "value")
+    out = sketch.dd_quantiles_group(part, "k", qs=(0.01, 0.5, 0.9, 0.99))
+    sv = np.sort(v)
+    n = len(v)
+    for q in (0.01, 0.5, 0.9, 0.99):
+        exact = sv[max(1, int(np.ceil(q * n))) - 1]
+        est = out[f"p{int(q * 100)}"][0].as_py()
+        assert abs(est - exact) <= sketch.DD_ALPHA * abs(exact) + 1e-12, \
+            (q, est, exact)
+
+
+def test_dd_sketch_partials_merge_exactly():
+    """Bucket counts are a sum-monoid: any partitioning, concatenated
+    and re-merged, yields the identical quantiles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from __spider_ray.stages import sketch
+
+    rng = np.random.RandomState(11)
+    v = np.exp(rng.normal(0, 2, size=9_999))
+    keys = np.where(np.arange(len(v)) % 2 == 0, "a", "b").astype(object)
+    whole = pa.table({"k": pa.array(keys), "value": pa.array(v)})
+    full = sketch.dd_partial_batch(whole, "k", "value")
+    parts = [sketch.dd_partial_batch(whole.slice(lo, 1234), "k", "value")
+             for lo in range(0, len(v), 1234)]
+    merged = pa.concat_tables(parts)
+    for key in ("a", "b"):
+        m_f = full.filter(pa.compute.equal(full["k"], key))
+        m_p = merged.filter(pa.compute.equal(merged["k"], key))
+        qf = sketch.dd_quantiles_group(m_f, "k")
+        qp = sketch.dd_quantiles_group(m_p, "k")
+        assert qf.equals(qp)
+
+
+def test_dd_query_vs_exact(ray_session):
+    """End-to-end grouped sketch over the events table vs exact rank
+    statistics per group."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from __spider_ray.pipelines.textops import q_approx_quantiles
+    from __spider_ray.stages.sketch import DD_ALPHA
+
+    sf = "/root/testdata/sf0.001"
+    got = q_approx_quantiles(sf).to_pandas().set_index("event_type")
+    raw = pq_.read_table(f"{sf}/events.parquet",
+                         columns=["event_type", "value"]).to_pandas()
+    for et, grp in raw.groupby("event_type"):
+        sv = np.sort(grp["value"].to_numpy())
+        n = len(sv)
+        for q in (0.5, 0.9, 0.99):
+            exact = sv[max(1, int(np.ceil(q * n))) - 1]
+            est = got.loc[et, f"p{int(q * 100)}"]
+            assert abs(est - exact) <= DD_ALPHA * abs(exact) + 1e-12, \
+                (et, q, est, exact)
