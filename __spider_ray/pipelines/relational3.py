@@ -277,7 +277,70 @@ WHERE levenshtein(a.p_name, b.p_name) <= {SIM_K}
 """
 
 
+# ------------------------------------------------------ winsorized mean
+def q_events_winsorized(sf_dir: str):
+    """Robust (winsorized) grouped aggregate: per event type, the sum
+    of value clamped to the group's [p5, p95] — the outlier-resistant
+    mean's integer-exact components (n_rows, sum_clamped_cents).
+    Single hash-bucket shuffle; per bucket ONE lexsort yields the
+    quantile cuts (same quantile_disc rank rule as
+    ``q_events_quantiles``: smallest element with rank/n ≥ q), then
+    the clamp + segment sums are np.clip / np.add.reduceat — the SQL
+    oracle needs a quantile CTE + re-join that the engine fuses into
+    one pass."""
+    from ..functions.hashing import hash64
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        key = t["event_type"].combine_chunks() \
+            if isinstance(t["event_type"], pa.ChunkedArray) else t["event_type"]
+        b = (hash64(key) % np.uint64(16)).astype(np.int64)
+        return pa.table({"event_type": key, "value_c": _cents(t["value"]),
+                         "bucket": pa.array(b)})
+
+    def win_bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64()),
+                             "sum_clamped_cents": pa.array([], pa.int64())})
+        denc = pc.dictionary_encode(g["event_type"].combine_chunks())
+        codes = np.asarray(denc.indices).astype(np.int64)
+        vc = np.asarray(g["value_c"].combine_chunks()).astype(np.int64)
+        order = np.lexsort((vc, codes))
+        c_, v_ = codes[order], vc[order]
+        starts = np.nonzero(np.r_[True, c_[1:] != c_[:-1]])[0]
+        counts = np.diff(np.append(starts, len(c_)))
+        lo = v_[starts + np.ceil(0.05 * counts).astype(np.int64) - 1]
+        hi = v_[starts + np.ceil(0.95 * counts).astype(np.int64) - 1]
+        clamped = np.clip(v_, np.repeat(lo, counts), np.repeat(hi, counts))
+        return pa.table({
+            "event_type": denc.dictionary.take(pa.array(c_[starts], pa.int32())),
+            "n_rows": pa.array(counts.astype(np.int64)),
+            "sum_clamped_cents": pa.array(
+                np.add.reduceat(clamped, starts).astype(np.int64))})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: win_bucket(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow"))
+
+
+SQL_EVENTS_WINSORIZED = """
+WITH w AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events),
+q AS (
+  SELECT event_type, quantile_disc(v, 0.05) AS lo, quantile_disc(v, 0.95) AS hi
+  FROM w GROUP BY event_type)
+SELECT w.event_type, COUNT(*) AS n_rows,
+       CAST(SUM(LEAST(GREATEST(w.v, q.lo), q.hi)) AS BIGINT)
+         AS sum_clamped_cents
+FROM w JOIN q USING (event_type)
+GROUP BY w.event_type
+"""
+
+
 # -------------------------------------------------------------- registration
 register("rel_events_rank", q_events_rank, SQL_EVENTS_RANK)
+register("rel_events_winsorized", q_events_winsorized, SQL_EVENTS_WINSORIZED)
 register("rel_orders_semi_bloom", q_orders_semi_bloom, SQL_ORDERS_SEMI_BLOOM)
 register("rel_part_name_pairs", q_part_name_pairs, SQL_PART_NAME_PAIRS)

@@ -111,3 +111,19 @@ def test_part_name_pairs_orientation_and_no_self_pairs(tmp_path):
     got = q_part_name_pairs(str(tmp_path)).to_pandas()
     assert (got["name_a"] < got["name_b"]).all()
     assert len(got) == 3              # aa-ab(1) aa-ba(1|2) ab-ba(2)
+
+
+def test_events_winsorized_clamps_to_group_quantiles(tmp_path):
+    # one group, 20 values 1..20 (cents 100..2000): p5 = rank 1 -> 100,
+    # p95 = rank 19 -> 1900; clamp changes only the max (2000 -> 1900)
+    t = pa.table({
+        "event_id": pa.array(list(range(20)), pa.int64()),
+        "user_id": pa.array([1] * 20, pa.int64()),
+        "event_type": pa.array(["a"] * 20, pa.string()),
+        "value": pa.array([float(i) for i in range(1, 21)], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    from __spider_ray.pipelines.relational3 import q_events_winsorized
+    got = q_events_winsorized(str(tmp_path)).to_pandas()
+    assert got["n_rows"].tolist() == [20]
+    assert got["sum_clamped_cents"].tolist() == [sum(range(100, 2001, 100)) - 100]
