@@ -339,8 +339,74 @@ GROUP BY w.event_type
 """
 
 
+# --------------------------------------------------- running distinct
+def q_events_running_distinct(sf_dir: str):
+    """Cumulative COUNT(DISTINCT event_type) per user in event-time
+    order — the running-vocabulary window (SQL has no windowed
+    COUNT(DISTINCT); both sides express it as a first-occurrence flag
+    summed over the ordered frame).  One hash-bucket shuffle by user;
+    per bucket: lexsort to (user, ts, event_id) order, a second STABLE
+    lexsort by (user, type) marks each (user, type)'s first sighting
+    (stability preserves time order within the pair), scatter the
+    flags back, then a per-user segmented cumsum."""
+    from ..functions.hashing import hash64_ints
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["user_id"].to_numpy().astype(np.uint64))
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def rd_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if not n:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "n_distinct_types": pa.array([], pa.int64())})
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        code = np.asarray(pc.dictionary_encode(
+            g["event_type"].combine_chunks()).indices).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, t_, e_, c_ = uid[order], ts[order], eid[order], code[order]
+        o2 = np.lexsort((c_, u))               # stable: keeps time order
+        fst2 = np.r_[True, (u[o2][1:] != u[o2][:-1]) | (c_[o2][1:] != c_[o2][:-1])]
+        fst = np.empty(n, dtype=np.int64)
+        fst[o2] = fst2.astype(np.int64)
+        cs = np.cumsum(fst)
+        starts = np.nonzero(np.r_[True, u[1:] != u[:-1]])[0]
+        base = cs[starts] - fst[starts]
+        nd = cs - np.repeat(base, np.diff(np.append(starts, n)))
+        return pa.table({"event_id": pa.array(e_),
+                         "user_id": pa.array(u),
+                         "n_distinct_types": pa.array(nd)})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: rd_bucket(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow"))
+
+
+SQL_EVENTS_RUNNING_DISTINCT = """
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS fst
+  FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(fst) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_distinct_types
+FROM w
+"""
+
+
 # -------------------------------------------------------------- registration
 register("rel_events_rank", q_events_rank, SQL_EVENTS_RANK)
+register("rel_events_running_distinct", q_events_running_distinct,
+         SQL_EVENTS_RUNNING_DISTINCT)
 register("rel_events_winsorized", q_events_winsorized, SQL_EVENTS_WINSORIZED)
 register("rel_orders_semi_bloom", q_orders_semi_bloom, SQL_ORDERS_SEMI_BLOOM)
 register("rel_part_name_pairs", q_part_name_pairs, SQL_PART_NAME_PAIRS)

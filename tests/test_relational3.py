@@ -127,3 +127,21 @@ def test_events_winsorized_clamps_to_group_quantiles(tmp_path):
     got = q_events_winsorized(str(tmp_path)).to_pandas()
     assert got["n_rows"].tolist() == [20]
     assert got["sum_clamped_cents"].tolist() == [sum(range(100, 2001, 100)) - 100]
+
+
+def test_events_running_distinct(tmp_path):
+    # user 1 in time order: a, b, a, c  -> 1, 2, 2, 3
+    # user 2:               x, x        -> 1, 1
+    import numpy as np_
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array(np_.array([10, 20, 30, 40, 10, 20],
+                                 dtype="datetime64[us]")),
+        "event_type": pa.array(["a", "b", "a", "c", "x", "x"], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    from __spider_ray.pipelines.relational3 import q_events_running_distinct
+    got = (q_events_running_distinct(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert got["n_distinct_types"].tolist() == [1, 2, 2, 3, 1, 1]
