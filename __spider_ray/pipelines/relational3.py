@@ -403,8 +403,68 @@ FROM w
 """
 
 
+# ----------------------------------------------------- grouped histogram
+HIST_K = 8
+
+
+def q_events_histogram(sf_dir: str, k: int = HIST_K):
+    """Equi-width value histogram per event type — the two-pass +
+    broadcast report shape: pass 1 is a grouped min/max (aggregate
+    rows only), whose tiny result broadcasts into pass 2's stateless
+    bucket-assignment (`((v − mn)·k) // (mx − mn + 1)`, integer-exact
+    in both engines), pre-counted per batch and sum-merged.  Facts
+    cross the wire once, as (type, bucket, n) partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"event_type": t["event_type"],
+                       "v": _cents(t["value"])})
+               .group_by("event_type").aggregate([("v", "min"), ("v", "max")]))
+        return g.rename_columns(["event_type", "mn", "mx"])
+
+    from ray.data.aggregate import Max, Min
+    m = (ds.map_batches(minmax_partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+           .to_pandas())                       # group-count-bounded
+    mn = dict(zip(m["event_type"], m["mn"].astype(np.int64)))
+    mx = dict(zip(m["event_type"], m["mx"].astype(np.int64)))
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        v = _cents(t["value"]).to_numpy()
+        denc = pc.dictionary_encode(et)       # bounds looked up per TYPE
+        dvals = denc.dictionary.to_pylist()   # (≤ #groups), then gathered
+        codes = np.asarray(denc.indices).astype(np.int64)
+        lo = np.array([mn[x] for x in dvals], dtype=np.int64)[codes]
+        hi = np.array([mx[x] for x in dvals], dtype=np.int64)[codes]
+        b = ((v - lo) * k) // (hi - lo + 1)
+        g = (pa.table({"event_type": et, "bucket": pa.array(b)})
+               .group_by(["event_type", "bucket"])
+               .aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "bucket", "n"])
+
+    return (ds.map_batches(bucket_partial, batch_format="pyarrow")
+              .groupby(["event_type", "bucket"])
+              .aggregate(Sum("n", alias_name="n")))
+
+
+SQL_EVENTS_HISTOGRAM = f"""
+WITH w AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events),
+m AS (SELECT event_type, min(v) AS mn, max(v) AS mx FROM w GROUP BY event_type)
+SELECT w.event_type, (w.v - m.mn) * {HIST_K} // (m.mx - m.mn + 1) AS bucket,
+       COUNT(*) AS n
+FROM w JOIN m USING (event_type)
+GROUP BY w.event_type, bucket
+"""
+
+
 # -------------------------------------------------------------- registration
 register("rel_events_rank", q_events_rank, SQL_EVENTS_RANK)
+register("rel_events_histogram", q_events_histogram, SQL_EVENTS_HISTOGRAM)
 register("rel_events_running_distinct", q_events_running_distinct,
          SQL_EVENTS_RUNNING_DISTINCT)
 register("rel_events_winsorized", q_events_winsorized, SQL_EVENTS_WINSORIZED)

@@ -145,3 +145,19 @@ def test_events_running_distinct(tmp_path):
     got = (q_events_running_distinct(str(tmp_path)).to_pandas()
            .sort_values("event_id").reset_index(drop=True))
     assert got["n_distinct_types"].tolist() == [1, 2, 2, 3, 1, 1]
+
+
+def test_events_histogram_buckets(tmp_path):
+    # one group, values 0..7 cents -> width math puts one value/bucket
+    t = pa.table({
+        "event_id": pa.array(list(range(8)), pa.int64()),
+        "user_id": pa.array([1] * 8, pa.int64()),
+        "event_type": pa.array(["a"] * 8, pa.string()),
+        "value": pa.array([i / 100 for i in range(8)], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    from __spider_ray.pipelines.relational3 import q_events_histogram
+    got = (q_events_histogram(str(tmp_path)).to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    assert got["bucket"].tolist() == list(range(8))
+    assert got["n"].tolist() == [1] * 8
