@@ -462,8 +462,84 @@ GROUP BY w.event_type, bucket
 """
 
 
+# --------------------------------------------- percent_rank / cume_dist
+def q_events_rank_pct(sf_dir: str):
+    """percent_rank and cume_dist per user over value DESC, exposed as
+    integer basis points (floor-div — associative, identical in
+    DuckDB) so floats never reach the oracle hash.  Same bucket +
+    lexsort shape as ``q_events_rank``; the extra work is the per-row
+    run END (ties' last index), which gives cume_dist's ≥-count
+    without a second pass."""
+    from ..functions.hashing import hash64_ints
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64_ints(t["user_id"].to_numpy().astype(np.uint64))
+             % np.uint64(64)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def pct_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        v = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        if not len(uid):
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "pr_bp": pa.array([], pa.int64()),
+                             "cd_bp": pa.array([], pa.int64())})
+        order = np.lexsort((eid, -v, uid))
+        u, e_, v_ = uid[order], eid[order], v[order]
+        n = len(u)
+        pos = np.arange(n)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        new_run = new_user | np.r_[True, v_[1:] != v_[:-1]]
+        gstart = np.maximum.accumulate(np.where(new_user, pos, 0))
+        rstart = np.maximum.accumulate(np.where(new_run, pos, 0))
+        gidx = np.nonzero(new_user)[0]
+        ridx = np.nonzero(new_run)[0]
+        g_id = np.cumsum(new_user) - 1
+        r_id = np.cumsum(new_run) - 1
+        gend = np.append(gidx[1:], n)[g_id] - 1      # per-row group end
+        rend = np.append(ridx[1:], n)[r_id] - 1      # per-row tie-run end
+        n_grp = gend - gstart + 1
+        rnk = rstart - gstart + 1
+        cnt_ge = rend - gstart + 1
+        pr_bp = np.where(n_grp > 1,
+                         (rnk - 1) * 10000 // np.maximum(n_grp - 1, 1), 0)
+        cd_bp = cnt_ge * 10000 // n_grp
+        return pa.table({"event_id": pa.array(e_),
+                         "user_id": pa.array(u),
+                         "pr_bp": pa.array(pr_bp.astype(np.int64)),
+                         "cd_bp": pa.array(cd_bp.astype(np.int64))})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(lambda g: pct_bucket(g.drop_columns(["bucket"])),
+                          batch_format="pyarrow"))
+
+
+SQL_EVENTS_RANK_PCT = """
+WITH w AS (
+  SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS v FROM events),
+r AS (
+  SELECT event_id, user_id,
+         rank() OVER (PARTITION BY user_id ORDER BY v DESC) AS rnk,
+         count(*) OVER (PARTITION BY user_id ORDER BY v DESC
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cnt_ge,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM w)
+SELECT event_id, user_id,
+       CAST(CASE WHEN n > 1 THEN (rnk - 1) * 10000 // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pr_bp,
+       CAST(cnt_ge * 10000 // n AS BIGINT) AS cd_bp
+FROM r
+"""
+
+
 # -------------------------------------------------------------- registration
 register("rel_events_rank", q_events_rank, SQL_EVENTS_RANK)
+register("rel_events_rank_pct", q_events_rank_pct, SQL_EVENTS_RANK_PCT)
 register("rel_events_histogram", q_events_histogram, SQL_EVENTS_HISTOGRAM)
 register("rel_events_running_distinct", q_events_running_distinct,
          SQL_EVENTS_RUNNING_DISTINCT)

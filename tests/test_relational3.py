@@ -161,3 +161,21 @@ def test_events_histogram_buckets(tmp_path):
            .sort_values("bucket").reset_index(drop=True))
     assert got["bucket"].tolist() == list(range(8))
     assert got["n"].tolist() == [1] * 8
+
+
+def test_events_rank_pct_ties(tmp_path):
+    # user 1 values desc: 9, 7, 7, 3 (n=4):
+    #   rnk 1,2,2,4 -> pr_bp (rnk-1)*10000//3 = 0, 3333, 3333, 10000
+    #   cnt_ge 1,3,3,4 -> cd_bp *10000//4 = 2500, 7500, 7500, 10000
+    # user 2 single event -> pr_bp 0, cd_bp 10000
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "value": pa.array([9.0, 7.0, 7.0, 3.0, 5.0], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    from __spider_ray.pipelines.relational3 import q_events_rank_pct
+    got = (q_events_rank_pct(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert got["pr_bp"].tolist() == [0, 3333, 3333, 10000, 0]
+    assert got["cd_bp"].tolist() == [2500, 7500, 7500, 10000, 10000]
