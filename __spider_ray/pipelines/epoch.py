@@ -383,10 +383,14 @@ def run_crawl(
                 f"output dir {out_dir} was crawled with n_seen_shards="
                 f"{prev.get('n_seen_shards')}; resume with the same value "
                 f"or pass resume=False")
-        if prev.get("overlap") not in (None, overlap):
+        # a marker without an 'overlap' key was written by the serial
+        # scheduler (its chunk markers denote url-hash partitions, not
+        # producer-chunk link partitions) — treat missing as False so a
+        # serial dir can never be resumed under the overlap scheduler
+        if bool(prev.get("overlap", False)) != bool(overlap):
             raise ValueError(
                 f"output dir {out_dir} was crawled with overlap="
-                f"{prev.get('overlap')}; the seen-snapshot namespaces "
+                f"{prev.get('overlap', False)}; the seen-snapshot namespaces "
                 f"differ — resume with the same flag or pass resume=False")
     if n_seen_shards is None:
         n_seen_shards = _auto_seen_shards(total_cpus)
@@ -418,7 +422,13 @@ def run_crawl(
                               robots_fetcher=robots_fetcher)
 
     start_epoch = ckpt.last_complete_epoch(out_dir) + 1 if resume else 0
-    if start_epoch > 0:
+    if overlap:
+        # the overlapped scheduler does its own per-depth restores
+        # (seen0 from epoch-0/chunk-0 markers, seen1 from epoch-1/
+        # chunk-1); restoring epoch-(start-1) here would load seen1's
+        # shard snapshots into seen0 and misattribute its stats
+        seen.reset_all()
+    elif start_epoch > 0:
         seen.restore_all(ckpt.load_seen_snapshots(out_dir, start_epoch - 1,
                                                   n_seen_shards))
     else:
@@ -709,6 +719,11 @@ def _run_overlapped(*, out_dir: str, n_chunks: int, n_seen_shards: int,
     if resume and ckpt.last_complete_epoch(out_dir) >= 1:
         stored = ckpt.read_marker(out_dir, 1).get("totals", {})
         totals.update(stored)
+        # per-namespace restore: epoch-0 snapshots are seen0's shards,
+        # epoch-1 are seen1's — so the reported seen stats attribute
+        # each depth's counts to the right namespace
+        seen0.restore_all(ckpt.load_seen_snapshots(out_dir, 0, n_seen_shards))
+        seen1.restore_all(ckpt.load_seen_snapshots(out_dir, 1, n_seen_shards))
         return {"last_epoch": 1, "totals": totals,
                 "seen": seen0.stats() + seen1.stats(),
                 "policy": policy.stats()}

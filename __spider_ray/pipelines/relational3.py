@@ -233,7 +233,11 @@ def q_part_name_pairs(sf_dir: str, k: int = SIM_K):
         parts = []
         for d in range(k + 1):
             b = ln - d
-            m = b >= 1
+            # band 0 is real: an empty name (len 0) lives there, and
+            # pairs ('', x) with len(x) <= k are verified in band
+            # min(len)=0 — dropping it would silently diverge from the
+            # SQL oracle if the vocabulary ever contains ''
+            m = b >= 0
             parts.append(pa.table({"p_name": nm.filter(pa.array(m)),
                                    "band": pa.array(b[m]),
                                    "length": pa.array(ln[m])}))

@@ -100,12 +100,25 @@ def bands_batch(t: pa.Table) -> pa.Table:
     })
 
 
+# Above this many members in ONE LSH bucket, emit a star (min-member ↔
+# others, O(m)) instead of the full clique (O(m²)).  Boilerplate-heavy
+# corpora at 100 TB produce degenerate bands with 10^5+ identical
+# signatures — a clique there is 10^10 pair rows from a single group.
+# A star preserves exactly what the consumers need: connectivity for
+# ``connected_components`` / keep-first, and each emitted pair is still
+# individually re-verified (full-signature Jaccard or hamming).
+HOT_BUCKET_CAP = 512
+
+
 def pairs_from_hash_bucket(g: pa.Table,
-                           key_cols: tuple[str, str]) -> pa.Table:
+                           key_cols: tuple[str, str],
+                           hot_cap: int = HOT_BUCKET_CAP) -> pa.Table:
     """Hash-bucket flavor: the group holds MANY (key) LSH buckets.  One
     lexsort finds group boundaries; singleton groups (the vast
     majority) are skipped wholesale; only colliding groups — each a
-    handful of docs — loop to emit their triu pairs."""
+    handful of docs — loop to emit their triu pairs.  Groups above
+    ``hot_cap`` members emit a connectivity-preserving star instead
+    (see HOT_BUCKET_CAP)."""
     k0 = g[key_cols[0]].to_numpy()
     k1 = g[key_cols[1]].to_numpy()
     ids = g["doc_id"].to_numpy()
@@ -121,6 +134,10 @@ def pairs_from_hash_bucket(g: pa.Table,
     for gi in np.nonzero(sizes > 1)[0]:          # colliding groups only
         members = np.unique(ds[bounds[gi]:bounds[gi + 1]])
         if len(members) < 2:
+            continue
+        if len(members) > hot_cap:               # hot bucket → star
+            out_a.append(np.broadcast_to(members[0], len(members) - 1))
+            out_b.append(members[1:])
             continue
         ai, bi = np.triu_indices(len(members), k=1)
         out_a.append(members[ai])
@@ -531,10 +548,15 @@ def simhash_bands_batch(t: pa.Table) -> pa.Table:
     })
 
 
-def _simhash_pairs_hash_bucket(g: pa.Table) -> pa.Table:
+def _simhash_pairs_hash_bucket(g: pa.Table,
+                               hot_cap: int = HOT_BUCKET_CAP) -> pa.Table:
     """Vectorized over the whole hash bucket: boundary-scan the
     (chunk_id, chunk_val) groups, triu-pair only colliding ones,
-    popcount hamming on the XOR of member signatures."""
+    popcount hamming on the XOR of member signatures.  Groups above
+    ``hot_cap`` emit a star ordered by (signature, id) — identical
+    signatures sort adjacent, so the star center shares its exact
+    signature with the whole degenerate run that caused the heat and
+    the emitted pairs pass the hamming gate (see HOT_BUCKET_CAP)."""
     c0 = g["chunk_id"].to_numpy()
     c1 = g["chunk_val"].to_numpy()
     ids = g["doc_id"].to_numpy()
@@ -552,6 +574,17 @@ def _simhash_pairs_hash_bucket(g: pa.Table) -> pa.Table:
         m_ids, first = np.unique(ds[lo:hi], return_index=True)
         m_sig = ss[lo:hi][first]
         if len(m_ids) < 2:
+            continue
+        if len(m_ids) > hot_cap:                 # hot bucket → star
+            o = np.lexsort((m_ids, m_sig))       # sig-major: dups adjacent
+            m_ids, m_sig = m_ids[o], m_sig[o]
+            ca = np.broadcast_to(m_ids[0], len(m_ids) - 1)
+            cb = m_ids[1:]
+            # canonical a<b so _distinct_pairs dedups across bands
+            As.append(np.minimum(ca, cb))
+            Bs.append(np.maximum(ca, cb))
+            Ha.append(np.broadcast_to(m_sig[0], len(m_sig) - 1))
+            Hb.append(m_sig[1:])
             continue
         ai, bi = np.triu_indices(len(m_ids), k=1)
         As.append(m_ids[ai]); Bs.append(m_ids[bi])

@@ -581,6 +581,56 @@ def pq_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
 # ------------------------------------------------------- semantic dedup
 SEMDEDUP_TAU = 0.95
 TWIN_OFFSET = 1 << 40      # above any real vec_id — twin ids can't collide
+SEMDEDUP_TARGET_CLUSTER = 10_000   # rows per k-means cell, corpus-scale
+SEMDEDUP_TILE = 2048               # rows per sim-matrix tile
+
+
+def semdedup_cells(n_rows: int, sample_rows: int) -> int:
+    """Cell count for semantic dedup, DECOUPLED from ``ivf_params``.
+
+    ivf_params caps n_cells at 128 for probe economics (ANN touch
+    fraction ∝ nprobe/C), but under that cap a 10^9-vector corpus
+    means ~10^7-row clusters — an O(m²) dense sim matrix inside one
+    ``map_groups`` task.  Semantic dedup has no probe economics: it
+    wants clusters small enough to pairwise-compare, so the cell count
+    scales as n/SEMDEDUP_TARGET_CLUSTER.  Capped at sample_rows//8 so
+    the bounded driver-side kmeans keeps ≥8 sample points per centroid
+    (at true corpus scale centroid training itself would move off the
+    driver — hierarchical / minibatch — but the cluster-size contract
+    here is the part that kills jobs)."""
+    want = -(-max(1, n_rows) // SEMDEDUP_TARGET_CLUSTER)
+    cap = max(16, sample_rows // 8)
+    return int(max(16, min(want, cap)))
+
+
+def tiled_priority_maxsim(m: np.ndarray, tile: int = SEMDEDUP_TILE
+                          ) -> tuple[np.ndarray, int]:
+    """For priority-ordered normalized rows ``m`` (earlier = higher
+    priority), return per-row max cosine to ANY earlier row — the
+    SemDeDup drop statistic — computed in fixed-size tiles so peak
+    scratch is O(tile·dim + tile²) regardless of cluster size, not
+    one dense m×m matrix.
+
+    Returns (maxsim, peak_elems) where peak_elems is the largest
+    scratch sim-block allocated (elements) — asserted by tests to stay
+    ≤ tile² even when the cluster is ≫ tile."""
+    n = len(m)
+    maxsim = np.full(n, -1.0)
+    peak = 0
+    for a in range(0, n, tile):
+        b = min(a + tile, n)
+        blk = m[a:b]                       # candidate rows i in [a, b)
+        best = maxsim[a:b]
+        for ca in range(0, b, tile):
+            cb = min(ca + tile, b)
+            s = m[ca:cb] @ blk.T           # earlier rows j in [ca, cb)
+            peak = max(peak, s.size)
+            if cb > a:                     # tile straddles the diagonal
+                jj = np.arange(ca, cb)[:, None]
+                ii = np.arange(a, b)[None, :]
+                s = np.where(jj < ii, s, -1.0)
+            np.maximum(best, s.max(axis=0), out=best)
+    return maxsim, peak
 
 
 def semantic_dedup(sf_dir: str, threshold: float = SEMDEDUP_TAU,
@@ -594,9 +644,12 @@ def semantic_dedup(sf_dir: str, threshold: float = SEMDEDUP_TAU,
 
     Scale shape: centroids train on the bounded driver sample and
     broadcast via ``ray.put``; assignment is one matmul per batch;
-    the only shuffle is ONE groupby(cell), and each cluster's dedup is
-    a single m×m triangular max (cluster sizes are bounded by k-means
-    granularity — n_cells scales with corpus size via ``ivf_params``).
+    the only shuffle is ONE groupby(cell).  Cluster sizes are bounded
+    by ``semdedup_cells`` (n_cells ∝ corpus/10k — deliberately NOT
+    ivf_params' 128-cell probe-economics cap, which would force
+    O(m²) dense matrices at corpus scale), and each cluster's
+    triangular max runs in fixed-size tiles (``tiled_priority_maxsim``)
+    so per-task scratch stays O(tile² ) even for a degenerate cluster.
     Cross-cluster near-dups are missed by design (the documented
     SemDeDup trade); the injected-twin test measures that recall.
 
@@ -606,8 +659,10 @@ def semantic_dedup(sf_dir: str, threshold: float = SEMDEDUP_TAU,
     would carry.  Output: (vec_id, cell, keep).
     """
     path = path or f"{sf_dir}/embeddings.parquet"
+    import pyarrow.parquet as _pq
+    n_corpus = _pq.ParquetFile(path).metadata.num_rows
     _, sample = _bounded_sample(path)
-    n_cells, _, _ = ivf_params(len(sample) + len(sample) // twin_mod)
+    n_cells = semdedup_cells(n_corpus + n_corpus // twin_mod, len(sample))
     cent_ref = ray.put(train_ivf_centroids(sample, n_cells))
 
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
@@ -641,11 +696,10 @@ def semantic_dedup(sf_dir: str, threshold: float = SEMDEDUP_TAU,
         order = np.lexsort((ids, -csim))      # priority: csim desc, id asc
         m = np.asarray(g["emb"].combine_chunks().flatten(), dtype=np.float64) \
             .reshape(g.num_rows, -1)[order]
-        sims = m @ m.T
-        upper = np.triu(sims, k=1)            # [j, i] = sim of earlier j to i
-        drop = np.zeros(len(ids), dtype=bool)
-        if len(ids) > 1:
-            drop[1:] = upper[:, 1:].max(axis=0) >= threshold
+        # tiled: identical result to np.triu(m @ m.T, 1).max(axis=0)
+        # with scratch bounded at O(tile²) for any cluster size
+        maxsim, _ = tiled_priority_maxsim(m)
+        drop = maxsim >= threshold
         return pa.table({"vec_id": pa.array(ids[order]),
                          "cell": g["cell"].take(pa.array(order)),
                          "keep": pa.array(~drop)})

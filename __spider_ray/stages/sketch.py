@@ -204,6 +204,13 @@ def dd_quantiles_group(g: pa.Table, key_col: str,
     2·gamma^m/(gamma+1), within alpha relative error of the true
     value at that rank.
     """
+    if g.num_rows == 0:
+        # same empty-group contract as the sibling map_groups kernels
+        # (rank_bucket, win_bucket, rd_bucket, pct_bucket)
+        return pa.table(
+            {key_col: pa.array([], type=g.schema.field(key_col).type),
+             **{f"p{int(q * 100)}": pa.array([], type=pa.float64())
+                for q in qs}})
     gamma = (1.0 + alpha) / (1.0 - alpha)
     band = g["band"].to_numpy(zero_copy_only=False)
     bkt = g["bkt"].to_numpy(zero_copy_only=False)

@@ -64,6 +64,47 @@ def test_simhash_finds_exact_duplicates():
     assert len(ham0) >= len([i for i in corpus if i < 100000 and i % 5 == 0])
 
 
+def test_hot_bucket_star_emission_is_linear():
+    """Degenerate band: 10^4 docs with IDENTICAL signatures in one LSH
+    bucket.  The clique would be ~5·10^7 pair rows; the hot-bucket cap
+    must emit a star — O(m) pairs, full connectivity, canonical a<b —
+    from BOTH pair kernels (minhash band-hash and sig64 chunk)."""
+    import pyarrow as pa
+
+    m = 10_000
+    ids = np.arange(m, dtype=np.int64)
+    rng = np.random.RandomState(3)
+    ids = rng.permutation(ids)            # emission must not rely on order
+
+    g = pa.table({"band_id": np.zeros(m, np.int32),
+                  "band_hash": np.full(m, 42, np.int64),
+                  "doc_id": ids})
+    out = dd.pairs_from_hash_bucket(g, ("band_id", "band_hash"))
+    assert out.num_rows == m - 1          # star, not clique
+    a = out["a"].to_numpy(); b = out["b"].to_numpy()
+    assert (a < b).all()
+    assert set(a) == {0}                  # min member is the center
+    assert set(b) == set(range(1, m))     # every other member connected
+
+    g2 = pa.table({"chunk_id": np.zeros(m, np.int32),
+                   "chunk_val": np.full(m, 7, np.int64),
+                   "doc_id": ids,
+                   "simhash": np.full(m, 0x1234, np.int64)})
+    out2 = dd._simhash_pairs_hash_bucket(g2)
+    assert out2.num_rows == m - 1
+    a2 = out2["a"].to_numpy(); b2 = out2["b"].to_numpy()
+    assert (a2 < b2).all()
+    assert (out2["hamming"].to_numpy() == 0).all()  # identical sigs
+    assert set(a2) == {0} and set(b2) == set(range(1, m))
+
+    # below the cap the clique is unchanged
+    small = pa.table({"band_id": np.zeros(5, np.int32),
+                      "band_hash": np.full(5, 42, np.int64),
+                      "doc_id": np.arange(5, dtype=np.int64)})
+    assert dd.pairs_from_hash_bucket(
+        small, ("band_id", "band_hash")).num_rows == 10
+
+
 def test_knn_brute_matches_numpy_oracle():
     t = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
     ids = np.array(t["vec_id"].to_pylist())
@@ -629,6 +670,54 @@ def test_semantic_dedup_drops_injected_twins(ray_session):
         assert not keep[i + TWIN_OFFSET]
     # on this (fixed, deterministic) corpus no original is shadowed
     assert all(keep[i] for i in twins)
+
+
+def test_semdedup_tiled_maxsim_matches_dense_and_bounds_scratch():
+    """A cluster ≫ tile size: the tiled kernel must (a) reproduce the
+    dense np.triu(m @ m.T, 1) column-max bit-for-bit at matching tile
+    boundaries within fp tolerance and (b) never allocate a scratch
+    sim block larger than tile² elements — the contract that keeps a
+    degenerate 10^7-row cluster from materializing an m×m matrix."""
+    import numpy as np
+
+    from __spider_ray.stages.knn import tiled_priority_maxsim
+
+    rng = np.random.RandomState(7)
+    n, dim, tile = 5000, 16, 256          # n ≈ 19.5 tiles
+    m = rng.randn(n, dim)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    # plant exact duplicates so the ≥-threshold path is exercised
+    m[1234] = m[17]
+    m[4999] = m[4000]
+
+    got, peak = tiled_priority_maxsim(m, tile=tile)
+    assert peak <= tile * tile            # scratch bound, by tile math
+
+    dense = m @ m.T
+    dense[np.tril_indices(n)] = -1.0      # only earlier rows (j < i) count
+    want = np.full(n, -1.0)
+    want[1:] = dense[:, 1:].max(axis=0)
+    assert np.allclose(got, want, atol=1e-9)
+    assert got[0] == -1.0                 # highest priority never drops
+
+
+def test_semdedup_cells_scales_with_corpus():
+    """Cell count must grow with corpus size (target ≤ ~10k rows per
+    cluster) instead of inheriting ivf_params' 128-cell probe cap,
+    while staying trainable on the bounded driver sample."""
+    from __spider_ray.stages.knn import (SEMDEDUP_TARGET_CLUSTER,
+                                         ivf_params, semdedup_cells)
+
+    sample = 100_000                      # the _bounded_sample cap
+    # 10^9-vector corpus: ivf_params would say 128 → ~8M-row clusters
+    assert ivf_params(10 ** 9)[0] == 128
+    cells = semdedup_cells(10 ** 9, sample)
+    assert cells == sample // 8           # sample-trainability cap binds
+    assert cells >= 1000                  # ≫ the old 128
+    # mid-size corpus: the 10k-per-cluster target binds exactly
+    assert semdedup_cells(320_000, sample) == 32
+    # tiny corpus: floor of 16
+    assert semdedup_cells(1_000, sample) == 16
 
 
 def test_corpus_build_composite(ray_session):
