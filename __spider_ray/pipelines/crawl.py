@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import hash64
@@ -26,22 +27,57 @@ N_DEDUP_BUCKETS = 64    # per-bucket work is vectorized; buckets ≈ 2-4× cores
 
 
 def _add_bucket(t: pa.Table, col: str, n_buckets: int = N_DEDUP_BUCKETS) -> pa.Table:
-    b = (hash64(t[col].combine_chunks()) % np.uint64(n_buckets)).astype(np.int64)
-    return t.append_column("bucket", pa.array(b))
+    h = hash64(t[col].combine_chunks())
+    b = (h % np.uint64(n_buckets)).astype(np.int64)
+    return (t.append_column("_h64", pa.array(h))
+             .append_column("bucket", pa.array(b)))
 
 
 def _dedup_bucket(g: pa.Table) -> pa.Table:
-    """First-wins per URL inside one hash bucket — one numpy lexsort
-    over the whole bucket, no per-group Python."""
-    urls = np.asarray(g["url"].to_pylist(), dtype=object)
+    """First-wins per URL inside one hash bucket.
+
+    Hot path sorts on the uint64 hash already computed for bucketing
+    (no object-dtype string lexsort); exactness is preserved by
+    string-verifying only inside equal-hash runs and falling back to a
+    per-run string sort iff a run mixes distinct URLs (a 64-bit
+    collision — effectively never, but handled)."""
+    h = g["_h64"].to_numpy()
     prio = g["priority"].to_numpy()
-    order = np.lexsort((prio, urls))
-    urls_s = urls[order]
-    first = np.empty(len(urls_s), dtype=bool)
-    if len(first):
+    order = np.lexsort((prio, h))
+    hs = h[order]
+    n = len(hs)
+    first = np.empty(n, dtype=bool)
+    if n:
         first[0] = True
-        first[1:] = urls_s[1:] != urls_s[:-1]
-    return g.take(pa.array(order[first])).drop_columns(["bucket"])
+        same_hash = hs[1:] == hs[:-1]
+        first[1:] = ~same_hash
+        if same_hash.any():
+            # Verify strings pairwise inside equal-hash runs (Arrow take
+            # touches only the tied rows, not the whole bucket).
+            idx = np.flatnonzero(same_hash) + 1
+            urls = g["url"].combine_chunks()
+            a = urls.take(pa.array(order[idx - 1]))
+            b = urls.take(pa.array(order[idx]))
+            neq = pc.not_equal(a, b).fill_null(True).to_numpy(
+                zero_copy_only=False)
+            if neq.any():
+                # 64-bit collision: re-resolve the affected runs exactly
+                # on the strings (rare path, runs are tiny).
+                run_id = np.cumsum(first)          # 1-based run labels
+                bad_runs = np.unique(run_id[idx[neq]])
+                sel = np.isin(run_id, bad_runs)
+                sub_order = order[sel]
+                sub_urls = np.asarray(
+                    urls.take(pa.array(sub_order)).to_pylist(), dtype=object)
+                sub_sorted = np.lexsort((prio[sub_order], sub_urls))
+                us = sub_urls[sub_sorted]
+                sub_first = np.empty(len(us), dtype=bool)
+                sub_first[0] = True
+                sub_first[1:] = us[1:] != us[:-1]
+                first_vals = first.copy()
+                first_vals[sel] = sub_first[np.argsort(sub_sorted)]
+                first = first_vals
+    return g.take(pa.array(order[first])).drop_columns(["bucket", "_h64"])
 
 
 def dedup_frontier(ds: ray.data.Dataset) -> ray.data.Dataset:

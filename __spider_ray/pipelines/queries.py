@@ -25,14 +25,45 @@ def register(name: str, fn: Callable[[str], Any], sql: str | None) -> None:
     _REGISTRY[name] = (fn, sql)
 
 
+def _rotation_offset() -> int:
+    """Deterministic per-round rotation key (round-4 verdict item #4).
+
+    The driver's correctness window is the first 50 registry entries;
+    with 87 oracled queries a fixed order leaves ~37 oracled queries
+    permanently outside the externally-verified window.  Rotating the
+    oracled prefix by 50 per round makes consecutive windows disjoint
+    mod len(oracled), so every oracled query gets hard driver signal
+    within two rounds.  The round key is the count of the driver's own
+    ``CORRECTNESS_r*.json`` artifacts at the repo root (0 on a fresh
+    checkout → identical to the unrotated order); ``GRAFT_ROTATION``
+    overrides for tests."""
+    import os
+    ov = os.environ.get("GRAFT_ROTATION")
+    if ov is not None:
+        try:
+            return int(ov)
+        except ValueError:
+            return 0
+    try:
+        from pathlib import Path
+        root = Path(__file__).resolve().parents[2]
+        return len(list(root.glob("CORRECTNESS_r*.json")))
+    except OSError:
+        return 0
+
+
 def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
-    """All registered queries, ORACLED ONES FIRST (stable within each
-    group).  The driver samples the first 50 entries in order; putting
-    every SQL-oracled query ahead of the rows-only ones makes its
-    correctness window all-oracle instead of burning slots on
-    ``no_oracle`` rows (round-3 verdict item #1)."""
+    """All registered queries: ORACLED ONES FIRST (rotated by a
+    deterministic per-round offset so the driver's fixed 50-slot window
+    covers the whole oracled set across rounds — round-4 verdict #4),
+    rows-only queries after (stable registration order)."""
     _ensure_builtin()
-    return dict(sorted(_REGISTRY.items(), key=lambda kv: kv[1][1] is None))
+    oracled = [kv for kv in _REGISTRY.items() if kv[1][1] is not None]
+    rows_only = [kv for kv in _REGISTRY.items() if kv[1][1] is None]
+    if oracled:
+        k = (_rotation_offset() * 50) % len(oracled)
+        oracled = oracled[k:] + oracled[:k]
+    return dict(oracled + rows_only)
 
 
 def _cast_int64(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:

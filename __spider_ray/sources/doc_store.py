@@ -220,14 +220,56 @@ def _kmv_screen(path: str) -> tuple[float | None, int, bool, bool]:
     return kmv_estimate(merged), covered, len(merged) < KMV_K, part_dup
 
 
-def read_documents(path: str) -> ray.data.Dataset:
+def partition_files(path: str, date_from: str | None = None,
+                    date_to: str | None = None) -> list[str]:
+    """Parquet part files of the daily partitions inside the inclusive
+    ``[date_from, date_to]`` window (``date=YYYY_MM_DD`` dir names sort
+    chronologically as strings, so the predicate is a string compare —
+    no footer or data read happens here).  ``None`` bounds are open.
+    Parts outside any ``date=`` layer belong to no daily partition and
+    are excluded from a windowed read."""
+    import glob as _glob
+    out = []
+    for f in sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                               recursive=True)):
+        seg = next((s[5:] for s in f.split(os.sep) if s.startswith("date=")),
+                   None)
+        if seg is None:
+            continue
+        if date_from is not None and seg < date_from:
+            continue
+        if date_to is not None and seg > date_to:
+            continue
+        out.append(f)
+    return out
+
+
+def read_documents(path: str, date_from: str | None = None,
+                   date_to: str | None = None) -> ray.data.Dataset:
     """Read back a committed doc directory: the Lance table at
     ``<path>.lance`` when present (the published, verified copy), else
-    the parquet parts in ``path`` itself."""
+    the parquet parts in ``path`` itself.
+
+    ``date_from``/``date_to`` (inclusive, ``YYYY_MM_DD``) prune at the
+    PARTITION level: only the matching ``date=`` directories' files are
+    handed to ``read_parquet``, so an incremental consumer (e.g.
+    ``dedup_incremental``'s delta pass) never opens finished days'
+    files."""
     if HAVE_LANCE and os.path.exists(_lance_path(path)):
-        return ray.data.read_lance(_lance_path(path))  # pragma: no cover
-    return ray.data.read_parquet(
-        path, file_extensions=["parquet"])           # skip the manifest
+        ds = ray.data.read_lance(_lance_path(path))    # pragma: no cover
+        if date_from or date_to:                       # pragma: no cover
+            import pyarrow.compute as _pc              # pragma: no cover
+            ds = ds.filter(                            # pragma: no cover
+                expr=f"crawl_date >= '{date_from or ''}'")  # pragma: no cover
+        return ds                                      # pragma: no cover
+    if date_from is None and date_to is None:
+        return ray.data.read_parquet(
+            path, file_extensions=["parquet"])       # skip the manifest
+    files = partition_files(path, date_from, date_to)
+    if not files:
+        return ray.data.from_arrow(pa.table({"doc_id": pa.array(
+            [], type=pa.string())}))
+    return ray.data.read_parquet(files)
 
 
 def manifest(path: str) -> dict | None:

@@ -91,15 +91,12 @@ def fetch_with_policy(batch: pa.Table, politeness=None,
                                              body_fn=body_fn))
 
 
-def paced_fetch(batch: pa.Table, politeness, fetch_fn) -> pa.Table:
-    """Per-host sub-batch pacing core, shared by the list and detail
-    fetch stages."""
-    if batch.num_rows == 0 or politeness is None:
-        return fetch_fn(batch)
-    waits = politeness.acquire_waits(batch["host"])
+def _pacing_plan(batch: pa.Table, waits: dict[str, float]):
+    """Shared pacing geometry: sort rows by their host's grant wait and
+    cut the sorted batch at wait boundaries.  Returns ``None`` when no
+    row needs to wait, else ``(sorted_batch, sorted_waits, bounds)``."""
     if max(waits.values(), default=0.0) <= 0.0:
-        return fetch_fn(batch)
-    import time as _time
+        return None
     hosts = np.asarray(batch["host"].to_pylist(), dtype=object)
     # null hosts get zero wait: acquire_waits drops None keys from the
     # grant dict, and under the epoch pass's max_retries=0 a KeyError
@@ -111,6 +108,20 @@ def paced_fetch(batch: pa.Table, politeness, fetch_fn) -> pa.Table:
     sorted_batch = batch.take(pa.array(order))
     sw = row_wait[order]
     bounds = np.concatenate([[0], np.nonzero(np.diff(sw) > 0)[0] + 1, [len(sw)]])
+    return sorted_batch, sw, bounds
+
+
+def paced_fetch(batch: pa.Table, politeness, fetch_fn) -> pa.Table:
+    """Per-host sub-batch pacing core, shared by the list and detail
+    fetch stages.  Sleeps to each host's deadline in ascending order, so
+    one batch's total wait is the MAX host wait, never the sum."""
+    if batch.num_rows == 0 or politeness is None:
+        return fetch_fn(batch)
+    plan = _pacing_plan(batch, politeness.acquire_waits(batch["host"]))
+    if plan is None:
+        return fetch_fn(batch)
+    import time as _time
+    sorted_batch, sw, bounds = plan
     t0 = _time.monotonic()
     parts = []
     for i in range(len(bounds) - 1):
@@ -252,6 +263,61 @@ class FetchWorker:
     def __call__(self, batch: pa.Table) -> pa.Table:
         fetch_fn = self._fetch_live if self.transport is not None else fetch_batch
         return paced_fetch(batch, self.politeness, fetch_fn)
+
+
+class AsyncFetchWorker:
+    """Async-actor fetch flavor (round-4 verdict item #7): politeness
+    waits are ``await``-ed on the actor's event loop instead of sleeping
+    in the task thread, so a multi-second per-host delay (the
+    reference's 2-4 s ``DOWNLOAD_DELAY`` budget, ``settings.py:32-38``)
+    never pins a CPU slot — Ray Data runs up to 4 batches of each task
+    concurrently through an async UDF (``plan_udf_map_op.py``'s
+    ``DEFAULT_ASYNC_BATCH_UDF_MAX_CONCURRENCY``), so k hosts' batches
+    on one actor finish in ≈ max(host wait), not Σ.  Pass a
+    ``batch_size`` that splits a block into several single-host batches
+    (the frontier is host-sorted after the priority shuffle, so
+    positional slices ARE host runs).  The synchronous ``FetchWorker``
+    remains the right flavor at rate=unlimited (the bench path) where
+    there is nothing to overlap.
+
+    Use: ``ds.map_batches(AsyncFetchWorker, fn_constructor_kwargs=
+    {"politeness": client}, concurrency=N, batch_size=B,
+    batch_format="pyarrow")``.
+    CPU work (the fetch itself) runs serially per actor on the loop
+    thread — the politeness regime is wait-dominated by construction,
+    so overlap of waits, not of CPU, is what buys the wall time back.
+    """
+
+    def __init__(self, politeness=None, status_fn=None, body_fn=None):
+        self.politeness = politeness
+        self.status_fn = status_fn
+        self.body_fn = body_fn
+
+    async def __call__(self, batch: pa.Table) -> pa.Table:
+        import asyncio
+
+        def do_fetch(t: pa.Table) -> pa.Table:
+            return fetch_batch(t, status_fn=self.status_fn,
+                               body_fn=self.body_fn)
+
+        if batch.num_rows == 0 or self.politeness is None:
+            return do_fetch(batch)
+        waits = await self.politeness.acquire_waits_async(batch["host"])
+        plan = _pacing_plan(batch, waits)
+        if plan is None:
+            return do_fetch(batch)
+        import time as _time
+        sorted_batch, sw, bounds = plan
+        t0 = _time.monotonic()
+        parts = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            dt = sw[lo] - (_time.monotonic() - t0)
+            if dt > 0:
+                await asyncio.sleep(dt)     # yields the loop: other
+                # in-flight batches fetch/wait during this host's delay
+            parts.append(do_fetch(sorted_batch.slice(lo, hi - lo)))
+        return pa.concat_tables(parts)
 
 
 class DetailFetchWorker:

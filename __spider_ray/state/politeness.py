@@ -140,16 +140,37 @@ class HostPolicyClient:
         """Per-host grant waits for a batch — ONE actor call per shard,
         returning host → seconds-to-wait so the caller can issue each
         host's sub-batch after its own wait instead of the batch max."""
-        from collections import Counter
         # Counter is O(n) hashing — np.unique would sort an object array
         # per batch (and raise on a null host)
+        per_shard = self._shard_counts(hosts)
+        results = ray.get([self.actors[s].acquire_per_host.remote(hc)
+                           for s, hc in per_shard.items()])
+        waits: dict[str, float] = {}
+        for r in results:
+            waits.update(r)
+        return waits
+
+    def _shard_counts(self, hosts: pa.Array | pa.ChunkedArray
+                      ) -> dict[int, dict[str, int]]:
+        from collections import Counter
         counts = Counter(hosts.to_pylist())
         counts.pop(None, None)                 # null hosts get no grant
         per_shard: dict[int, dict[str, int]] = {}
         for h, c in counts.items():
             per_shard.setdefault(self._shard_of(h), {})[h] = int(c)
-        results = ray.get([self.actors[s].acquire_per_host.remote(hc)
-                           for s, hc in per_shard.items()])
+        return per_shard
+
+    async def acquire_waits_async(self, hosts: pa.Array | pa.ChunkedArray
+                                  ) -> dict[str, float]:
+        """``acquire_waits`` for async fetch actors: the grant RPCs are
+        awaited (ObjectRefs are awaitables), never ``ray.get``-blocked,
+        so the actor's event loop keeps serving other in-flight batches
+        during the round-trip."""
+        import asyncio
+        per_shard = self._shard_counts(hosts)
+        results = await asyncio.gather(
+            *[self.actors[s].acquire_per_host.remote(hc)
+              for s, hc in per_shard.items()])
         waits: dict[str, float] = {}
         for r in results:
             waits.update(r)

@@ -82,11 +82,22 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
     t_all = time.perf_counter()
 
-    # ---- headline: the full stateful engine (epoch loop, both depths)
-    t0 = time.perf_counter()
-    res = epoch.run_crawl(SF_DIR, "/tmp/bench_out/crawl", resume=False,
-                          n_days=N_DAYS)
-    queries["crawl_engine"] = time.perf_counter() - t0
+    # ---- headline: the full stateful engine (epoch loop, both depths).
+    # Best-of-N (default 3): the box is shared-tenant and a single
+    # contended window made r4's recorded headline look 33% slower than
+    # the same code measured in its scaling campaign (round-4 verdict
+    # item #3).  All samples are recorded so round-over-round deltas can
+    # be judged against the spread, not one draw.
+    n_reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    crawl_runs: list[float] = []
+    res = None
+    for _rep in range(max(1, n_reps)):
+        shutil.rmtree("/tmp/bench_out/crawl", ignore_errors=True)
+        t0 = time.perf_counter()
+        res = epoch.run_crawl(SF_DIR, "/tmp/bench_out/crawl", resume=False,
+                              n_days=N_DAYS)
+        crawl_runs.append(round(time.perf_counter() - t0, 3))
+    queries["crawl_engine"] = min(crawl_runs)
     n_records = res["totals"]["records"]
     n_docs = res["totals"]["docs"]
     n_fares = res["totals"]["fares"]
@@ -143,6 +154,7 @@ def run_bench() -> dict:
         "urls_per_sec": round(n_urls / crawl_sec, 1),
         "spans_per_sec": round(n_spans / crawl_sec, 1),
         "ray_probe_sec": round(probe_sec, 3),
+        "crawl_engine_runs": crawl_runs,
     }
     ray.shutdown()
     return result
@@ -177,17 +189,16 @@ def hw_speedup(n_procs: int, n_tasks: int | None = None) -> float:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
+        # best-of-2 now happens INSIDE the child (GRAFT_BENCH_REPS):
+        # one Ray session, two timed crawl runs — same noise protection
+        # as the old two-subprocess flavor at half the startup cost.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_CRAWL_DAYS=os.environ.get("GRAFT_CRAWL_DAYS", "120"))
-        best = None
-        for _trial in range(2):       # best-of-2: the box is noisy-neighbored
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 check=True).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["queries"]["crawl_engine"] < best["queries"]["crawl_engine"]:
-                best = r
-        return best
+                   GRAFT_CRAWL_DAYS=os.environ.get("GRAFT_CRAWL_DAYS", "120"),
+                   GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "2"))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
 
     hw8 = max(hw_speedup(8), hw_speedup(8))      # best-of-2 (noisy box)
     hw32 = max(hw_speedup(32), hw_speedup(32))

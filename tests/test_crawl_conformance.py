@@ -43,3 +43,38 @@ def test_offsets_strictly_increasing_and_nullity():
     assert text_rows["text"].notna().all()
     assert media_rows["text"].isna().all()
     assert media_rows["media_ref"].str.startswith("captcha://").all()
+
+
+def test_dedup_bucket_hash_path_and_collision_fallback():
+    """_dedup_bucket sorts on the precomputed hash64 (no object lexsort
+    in the hot path); a forged 64-bit collision must still resolve
+    first-wins exactly on the strings."""
+    import numpy as np
+    import pyarrow as pa
+
+    # two distinct URLs share a forged hash, interleaved priorities;
+    # plus an honest duplicate pair and a singleton.
+    t = pa.table({
+        "url":      ["a", "b", "a", "c", "c", "d"],
+        "priority": [3,    1,   2,   5,   4,   9],
+        "_h64": pa.array(np.array([7, 7, 7, 11, 11, 42], dtype=np.uint64)),
+        "bucket": pa.array(np.zeros(6, dtype=np.int64)),
+    })
+    out = crawl._dedup_bucket(t)
+    got = {u: p for u, p in zip(out["url"].to_pylist(),
+                                out["priority"].to_pylist())}
+    # first-wins = min priority per URL string, despite a==b hash tie
+    assert got == {"a": 2, "b": 1, "c": 4, "d": 9}
+    assert "_h64" not in out.column_names and "bucket" not in out.column_names
+
+
+def test_dedup_bucket_empty():
+    import numpy as np
+    import pyarrow as pa
+    t = pa.table({
+        "url": pa.array([], type=pa.string()),
+        "priority": pa.array([], type=pa.int64()),
+        "_h64": pa.array(np.array([], dtype=np.uint64)),
+        "bucket": pa.array([], type=pa.int64()),
+    })
+    assert crawl._dedup_bucket(t).num_rows == 0

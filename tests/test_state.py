@@ -259,3 +259,43 @@ def test_proxy_pool_client_and_fetch_worker(ray_session):
     w = FetchWorker(proxy_pool=client)
     assert w.next_proxy("https://a.test/x") == p1
     assert client.stats()["live_proxies"] == 5
+
+
+def test_async_fetch_overlaps_host_waits():
+    """Round-4 verdict #7: at the reference politeness budget (seconds
+    per host), the async fetch actor overlaps per-host waits across
+    in-flight batches — wall time ≈ max host wait, not the sum — and
+    emits exactly the rows the synchronous flavor would."""
+    import time
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from __spider_ray.stages.fetch import AsyncFetchWorker
+    from __spider_ray.state.politeness import HostPolicyClient
+
+    # burst=1, delay 2 s/host → each host's SECOND row waits ~2 s
+    pol = HostPolicyClient(n_actors=1, delay_s=2.0, burst=1)
+    hosts = [f"h{i}.test" for i in range(4)]
+    # ONE block, host-major rows; batch_size=2 slices it into one
+    # batch per host, and the async UDF runs up to 4 batches
+    # concurrently inside the task — their waits overlap
+    t = pa.table({
+        "url": [f"https://{h}/p{j}" for h in hosts for j in range(2)],
+        "host": [h for h in hosts for _ in range(2)],
+    })
+    ds = rd.from_arrow(t)
+
+    t0 = time.monotonic()
+    out = ds.map_batches(AsyncFetchWorker,
+                         fn_constructor_kwargs={"politeness": pol},
+                         concurrency=1, batch_size=2,
+                         batch_format="pyarrow").to_pandas()
+    wall = time.monotonic() - t0
+
+    assert len(out) == 8 and set(out["host"]) == set(hosts)
+    assert (out["status"] > 0).all()
+    # serial sleeps would be ≥ 4 hosts × 2 s = 8 s on ONE actor; the
+    # overlapped wall is ~2 s + scheduling — a generous noise margin
+    # still separates the two regimes cleanly
+    assert wall < 6.0, f"host waits did not overlap: wall={wall:.1f}s"
