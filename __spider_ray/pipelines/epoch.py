@@ -401,6 +401,14 @@ def run_crawl(
             if (from_date is not None and to_date is not None)
             else _synth_sz.N_DAYS)
         seen_buckets = _auto_seen_buckets(sf_dir, days, n_seen_shards)
+    # priority width of the packed sort key — must MATCH what
+    # frontier_dataset packs (same footer-stat derivation) so the
+    # analytic range exchange groups on exactly the host/salt field
+    from .. import synth as _synth_pb
+    _n_eff_days = (len(expand.day_window(from_date, to_date))
+                   if from_date is not None and to_date is not None
+                   else (n_days or _synth_pb.N_DAYS))
+    _sort_low_bits = expand.prio_bits_for(sf_dir, _n_eff_days)
     if not os.path.exists(run_marker):
         with open(run_marker, "w") as f:
             _json.dump({"api": api, "n_seen_shards": n_seen_shards,
@@ -488,8 +496,32 @@ def run_crawl(
         silently losing the batch).  A task failure must fail the
         PASS; recovery is the chunk commit/resume path, which restores
         the seen snapshot of the last committed chunk and re-runs the
-        in-flight chunk exactly."""
-        ordered = frontier.sort("sort_key") if sort else frontier
+        in-flight chunk exactly.
+        The priority shuffle runs through the ANALYTIC range exchange
+        (stages/exchange.py) rather than ds.sort(): the sampled sort
+        measured 5× row skew across its reduce blocks on the sf0.1
+        frontier, which turned into straggler waves in this fused chain
+        (the depth-0 pass's dominant scaling leak at 32 CPUs).  The
+        exchange computes exact per-host-group boundaries from the
+        packed key's structure — same global order, near-perfect
+        balance, one less barrier.  GRAFT_SORT_IMPL=ray restores the
+        sampled sort for A/B."""
+        if sort:
+            if os.environ.get("GRAFT_SORT_IMPL", "analytic") == "ray":
+                ordered = frontier.sort("sort_key")
+            else:
+                from ..stages.exchange import analytic_range_exchange
+                from ..stages.expand import _default_blocks
+                ovp = os.environ.get("GRAFT_SORT_PARTS")
+                ordered = analytic_range_exchange(
+                    frontier, "sort_key", _sort_low_bits,
+                    # 3 task waves downstream: balanced parts make the
+                    # waves clean, and the third wave shrinks the
+                    # straggler tail (measured vs 2×CPU: 16.9 s vs
+                    # 17.6 s median at 32 CPUs on the 120-day job)
+                    n_parts=int(ovp) if ovp else total_cpus * 3)
+        else:
+            ordered = frontier
         return (
             ordered
             .map_batches(lambda b: seen_filter_batch(b, seen_set),
@@ -602,10 +634,20 @@ def run_crawl(
     def _depth0_frontier():
         # from_date/to_date select an absolute day-offset window
         # (expand.day_window, ctripSpider.py:148-153); n_days is the
-        # rolling-horizon default
+        # rolling-horizon default.  Expand with FEWER, coarser blocks
+        # than the 2×-CPU chain default when the analytic exchange
+        # follows: the exchange re-fans the frontier into balanced
+        # range parts anyway, so fine expand tasks only add dispatch
+        # latency to the pass's startup valley (64 × ~45 ms tasks cost
+        # ~2 s of wall at 32 CPUs — scheduling, not compute).
+        exp_blocks = None
+        if os.environ.get("GRAFT_SORT_IMPL", "analytic") != "ray":
+            ov = os.environ.get("GRAFT_EXPAND_BLOCKS")
+            exp_blocks = int(ov) if ov else max(8, total_cpus // 2)
         f = expand.frontier_dataset(sf_dir, n_days or synth.N_DAYS,
                                     path=url_path,
-                                    from_date=from_date, to_date=to_date)
+                                    from_date=from_date, to_date=to_date,
+                                    n_blocks=exp_blocks)
         if salt_hot:
             # sort_key is only consumed by the depth-0 sort; salting
             # the link frontier would be a wasted driver-side aggregate

@@ -222,16 +222,21 @@ def expand_batch(batch: pa.Table, n_days: int = synth.N_DAYS,
 def frontier_dataset(sf_dir: str, n_days: int = synth.N_DAYS,
                      path: str = "flightlist",
                      from_date: int | None = None,
-                     to_date: int | None = None) -> ray.data.Dataset:
+                     to_date: int | None = None,
+                     n_blocks: int | None = None) -> ray.data.Dataset:
     """seeds → expanded frontier (lazy, streaming).  The sort-key's
     priority width is measured from the customer table once (footer
     stats) so the packing never overflows at large scale factors.
     ``from_date``/``to_date`` select an absolute day-offset window
-    (``day_window``); default is the rolling ``range(n_days)``."""
+    (``day_window``); default is the rolling ``range(n_days)``.
+    ``n_blocks`` overrides the read/expand block count — the epoch loop
+    passes fewer blocks than the 2×-CPU default because its analytic
+    range exchange re-fans the frontier out anyway, so coarse expand
+    tasks just cut dispatch overhead."""
     days = day_window(from_date, to_date) \
         if from_date is not None and to_date is not None else None
     n_eff = len(days) if days is not None else n_days
     pb = prio_bits_for(sf_dir, n_eff)
-    return seeds_dataset(sf_dir).map_batches(
+    return seeds_dataset(sf_dir, n_blocks=n_blocks).map_batches(
         lambda b: expand_batch(b, n_days, path, pb, days=days),
         batch_format="pyarrow")
