@@ -733,3 +733,4 @@ JOIN apdim a2 ON r.to_city_code = a2.ap_code"""
     from . import textops     # noqa: F401  (dedup / text-analysis / knn)
     from . import relational2  # noqa: F401  (ntile / streaks / mode / share)
     from . import relational3  # noqa: F401  (rank / bloom semi / simjoin)
+    from . import relational4  # noqa: F401  (corr / exact MAD / vocabulary)

@@ -43,7 +43,10 @@ def run_bench() -> dict:
 
     from __spider_ray.pipelines import crawl, epoch, textops
 
-    shutil.rmtree("/tmp/bench_out", ignore_errors=True)
+    # per-process output dir: concurrent bench invocations (a scaling
+    # campaign child + a manual run) must not clobber each other
+    out_root = f"/tmp/bench_out_{os.getpid()}"
+    shutil.rmtree(out_root, ignore_errors=True)
 
     # warm-up: page cache for the input AND the Ray worker-process pool
     # (spawning NUM_CPUS python workers costs seconds and would be
@@ -92,9 +95,9 @@ def run_bench() -> dict:
     crawl_runs: list[float] = []
     res = None
     for _rep in range(max(1, n_reps)):
-        shutil.rmtree("/tmp/bench_out/crawl", ignore_errors=True)
+        shutil.rmtree(f"{out_root}/crawl", ignore_errors=True)
         t0 = time.perf_counter()
-        res = epoch.run_crawl(SF_DIR, "/tmp/bench_out/crawl", resume=False,
+        res = epoch.run_crawl(SF_DIR, f"{out_root}/crawl", resume=False,
                               n_days=N_DAYS)
         crawl_runs.append(round(time.perf_counter() - t0, 3))
     queries["crawl_engine"] = min(crawl_runs)
@@ -104,37 +107,40 @@ def run_bench() -> dict:
     n_urls = sum(s["count"] for s in res["seen"])      # depth-0 + depth-1 fetched
 
     t1 = time.perf_counter()
-    n_spans = (rd.read_parquet("/tmp/bench_out/crawl/docs")
+    n_spans = (rd.read_parquet(f"{out_root}/crawl/docs")
                  .map_batches(__import__("__spider_ray.stages.spans",
                                          fromlist=["explode_spans"]).explode_spans,
                               batch_format="pyarrow").count())
     queries["span_explode"] = time.perf_counter() - t1
 
-    # ---- component benchmarks
-    t2 = time.perf_counter()
-    textops.q_dedup_minhash(SF_DIR).to_pandas()
-    queries["dedup_minhash"] = time.perf_counter() - t2
+    # ---- component benchmarks (skipped in --scaling children: they
+    # don't feed the scaling metric, and every extra minute of child
+    # wall time is another contended-window exposure)
+    if os.environ.get("GRAFT_BENCH_COMPONENTS", "1") != "0":
+        t2 = time.perf_counter()
+        textops.q_dedup_minhash(SF_DIR).to_pandas()
+        queries["dedup_minhash"] = time.perf_counter() - t2
 
-    t2b = time.perf_counter()
-    textops.q_dedup_ngram(SF_DIR).to_pandas()
-    queries["dedup_ngram"] = time.perf_counter() - t2b
+        t2b = time.perf_counter()
+        textops.q_dedup_ngram(SF_DIR).to_pandas()
+        queries["dedup_ngram"] = time.perf_counter() - t2b
 
-    t3 = time.perf_counter()
-    textops.q_knn_brute(SF_DIR).to_pandas()
-    queries["knn_brute"] = time.perf_counter() - t3
+        t3 = time.perf_counter()
+        textops.q_knn_brute(SF_DIR).to_pandas()
+        queries["knn_brute"] = time.perf_counter() - t3
 
-    t4 = time.perf_counter()
-    from __spider_ray.pipelines import relational
-    relational.q_pricing_summary(SF_DIR).to_pandas()
-    queries["rel_pricing"] = time.perf_counter() - t4
+        t4 = time.perf_counter()
+        from __spider_ray.pipelines import relational
+        relational.q_pricing_summary(SF_DIR).to_pandas()
+        queries["rel_pricing"] = time.perf_counter() - t4
 
-    t5 = time.perf_counter()
-    textops.q_segment_dedup(SF_DIR).to_pandas()
-    queries["segment_dedup"] = time.perf_counter() - t5
+        t5 = time.perf_counter()
+        textops.q_segment_dedup(SF_DIR).to_pandas()
+        queries["segment_dedup"] = time.perf_counter() - t5
 
-    t6 = time.perf_counter()
-    textops.q_decontaminate(SF_DIR).to_pandas()
-    queries["decontaminate"] = time.perf_counter() - t6
+        t6 = time.perf_counter()
+        textops.q_decontaminate(SF_DIR).to_pandas()
+        queries["decontaminate"] = time.perf_counter() - t6
 
     total = time.perf_counter() - t_all
     crawl_sec = queries["crawl_engine"]
@@ -157,6 +163,7 @@ def run_bench() -> dict:
         "crawl_engine_runs": crawl_runs,
     }
     ray.shutdown()
+    shutil.rmtree(out_root, ignore_errors=True)   # ~GBs per child otherwise
     return result
 
 
@@ -194,7 +201,8 @@ def run_scaling() -> dict:
         # as the old two-subprocess flavor at half the startup cost.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_CRAWL_DAYS=os.environ.get("GRAFT_CRAWL_DAYS", "120"),
-                   GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "2"))
+                   GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "2"),
+                   GRAFT_BENCH_COMPONENTS="0")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
