@@ -278,3 +278,144 @@ def manifest(path: str) -> dict | None:
         with open(p) as f:
             return json.load(f)
     return None
+
+
+# --------------------------------------------------------------- compaction
+
+_COMPACT_JOURNAL = "_compact_journal.json"
+
+
+def recover_compaction(part_dir: str) -> None:
+    """Finish or roll back an interrupted ``compact_partition``.
+
+    The journal (written AFTER every bin's replacement file is fully
+    staged, BEFORE any rename/delete) makes the swap exactly-once:
+
+    - bin target exists   → the swap committed; delete leftover sources
+    - bin target missing  → the swap never started; delete its staged
+      tmp (if any) and keep the sources untouched
+
+    Stray ``*.parquet.tmp`` files (a crash before the journal) are
+    always removed — readers never see them (``partition_files`` and
+    ``read_parquet`` match ``*.parquet`` only)."""
+    jp = os.path.join(part_dir, _COMPACT_JOURNAL)
+    if os.path.exists(jp):
+        with open(jp) as f:
+            journal = json.load(f)
+        for b in journal["bins"]:
+            tgt = os.path.join(part_dir, b["target"])
+            if os.path.exists(tgt):
+                for s in b["sources"]:
+                    sp = os.path.join(part_dir, s)
+                    if os.path.exists(sp):
+                        os.unlink(sp)
+            else:
+                tmp = tgt + ".tmp"
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+        os.unlink(jp)
+    import glob as _glob
+    for t in _glob.glob(os.path.join(part_dir, "*.parquet.tmp")):
+        os.unlink(t)
+
+
+def _compact_bin(files: list[str], out_tmp: str) -> int:
+    """Rewrite one bin of small parts as a single file (runs as a Ray
+    task — the rewrite IS the compaction cost; the driver only swaps
+    names).  Footer KMV doc_id sketches and ``n_docs`` counts are
+    MERGED so ``_kmv_screen``'s duplicate screen keeps working on the
+    compacted file."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import kmv_merge
+    tables, sketches, n_docs = [], [], 0
+    for f in files:
+        t = pq.read_table(f)
+        meta = t.schema.metadata or {}
+        if b"kmv_doc_id" in meta:
+            sketches.append(np.frombuffer(meta[b"kmv_doc_id"],
+                                          dtype=np.uint64))
+            n_docs += int(meta.get(b"n_docs", b"0") or t.num_rows)
+        tables.append(t.replace_schema_metadata(None))
+    merged = pa.concat_tables(tables).combine_chunks()
+    if len(sketches) == len(files):
+        merged = merged.replace_schema_metadata(
+            {b"kmv_doc_id": kmv_merge(sketches).tobytes(),
+             b"n_docs": str(n_docs).encode()})
+    pq.write_table(merged, out_tmp)
+    return merged.num_rows
+
+
+def compact_partition(store_path: str, date: str | None = None,
+                      target_bytes: int = 128 << 20) -> dict:
+    """Merge a partition's small parquet parts into ~``target_bytes``
+    files — the maintenance pass a streaming crawl store needs: the
+    epoch tee writes one part per fused task batch, so a long crawl
+    accumulates thousands of small files per day and every downstream
+    read pays per-file open/footer cost.
+
+    Offline-maintenance semantics: run when no writer holds the
+    partition (like Lance/Iceberg compaction, which this stands in
+    for).  Bins are rewritten by PARALLEL Ray tasks; the driver then
+    journals the swap and commits it (rename + source delete), so a
+    crash at any point is repaired by ``recover_compaction`` with no
+    row ever duplicated or lost.  Row counts are verified bin-by-bin
+    before anything is renamed.  Idempotent: a second call finds
+    nothing small enough to merge."""
+    import glob as _glob
+
+    import ray as _ray
+    part_dir = store_path if date is None \
+        else os.path.join(store_path, f"date={date}")
+    recover_compaction(part_dir)
+    files = sorted(f for f in _glob.glob(os.path.join(part_dir, "*.parquet"))
+                   if not os.path.basename(f).startswith("compact-"))
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f in files:
+        cur.append(f)
+        cur_bytes += os.path.getsize(f)
+        if cur_bytes >= target_bytes:
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+    if cur:
+        bins.append(cur)
+    bins = [b for b in bins if len(b) >= 2]
+    if not bins:
+        return {"files_before": len(files), "files_after": len(files),
+                "bins": 0, "rows": 0}
+
+    task = _ray.remote(_compact_bin)
+    import hashlib as _hl
+    plans = []
+    for i, b in enumerate(bins):
+        tag = _hl.md5("|".join(os.path.basename(x) for x in b)
+                      .encode()).hexdigest()[:12]
+        target = f"compact-{i}-{tag}.parquet"
+        plans.append((b, target))
+    rows = _ray.get([task.remote(b, os.path.join(part_dir, t) + ".tmp")
+                     for b, t in plans])
+    # verify before any visible change
+    for (b, t), n in zip(plans, rows):
+        import pyarrow.parquet as pq
+        want = sum(pq.read_metadata(f).num_rows for f in b)
+        if n != want:
+            raise RuntimeError(
+                f"compaction bin {t} rewrote {n} rows, sources hold {want}")
+    journal = {"bins": [{"target": t,
+                         "sources": [os.path.basename(x) for x in b]}
+                        for b, t in plans]}
+    jp = os.path.join(part_dir, _COMPACT_JOURNAL)
+    with open(jp, "w") as f:
+        json.dump(journal, f)
+    for b, t in plans:
+        tgt = os.path.join(part_dir, t)
+        os.rename(tgt + ".tmp", tgt)
+        for s in b:
+            os.unlink(s)
+    os.unlink(jp)
+    return {"files_before": len(files),
+            "files_after": len(files) - sum(len(b) for b in bins) + len(bins),
+            "bins": len(bins), "rows": int(sum(rows))}

@@ -267,3 +267,99 @@ def test_doc_store_date_partition_pruning(tmp_path):
 
     # empty window → empty dataset, zero files opened
     assert doc_store.read_documents(path, date_from="2026_09_01").count() == 0
+
+
+# ------------------------------------------------------------- compaction
+
+
+def _write_store_parts(part_dir, n_parts, rows_per_part, start=0):
+    """Small parts shaped like the epoch tee's output (KMV + n_docs
+    footer metadata)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spider_ray.functions.hashing import hash64, kmv_sketch
+    os.makedirs(part_dir, exist_ok=True)
+    for p in range(n_parts):
+        ids = pa.array([f"doc-{start + p * rows_per_part + i}"
+                        for i in range(rows_per_part)])
+        t = pa.table({"doc_id": ids,
+                      "payload": pa.array(list(range(rows_per_part)))})
+        sk = kmv_sketch(hash64(ids))
+        t = t.replace_schema_metadata(
+            {b"kmv_doc_id": sk.tobytes(),
+             b"n_docs": str(rows_per_part).encode()})
+        pq.write_table(t, os.path.join(part_dir, f"part-{p:04d}.parquet"))
+
+
+def test_compact_partition_merges_and_preserves_rows(ray_session, tmp_path):
+    import glob
+
+    store = str(tmp_path / "docs")
+    pdir = os.path.join(store, "date=2024_01_01")
+    _write_store_parts(pdir, 12, 50)
+    before = doc_store.read_documents(store).to_pandas()
+    res = doc_store.compact_partition(store, "2024_01_01",
+                                      target_bytes=1 << 62)
+    assert res["bins"] == 1 and res["rows"] == 600
+    files = glob.glob(os.path.join(pdir, "*.parquet"))
+    assert len(files) == 1 and "compact-" in files[0]
+    after = doc_store.read_documents(store).to_pandas()
+    assert sorted(after["doc_id"]) == sorted(before["doc_id"])
+    # KMV screen still works on the merged footer: 600 distinct ids
+    # saturate the k=256 sketch (estimate regime), estimate stays tight
+    # and no false duplicate flag
+    est, covered, is_exact, part_dup = doc_store._kmv_screen(pdir)
+    assert covered == 600 and not is_exact and not part_dup
+    assert est is not None and abs(est - 600) / 600 < 0.25
+    # idempotent: nothing left to merge
+    res2 = doc_store.compact_partition(store, "2024_01_01",
+                                       target_bytes=1 << 62)
+    assert res2["bins"] == 0
+
+
+def test_compact_partition_bins_by_target_bytes(ray_session, tmp_path):
+    import glob
+
+    store = str(tmp_path / "docs")
+    pdir = os.path.join(store, "date=2024_01_02")
+    _write_store_parts(pdir, 8, 200)
+    one = os.path.getsize(glob.glob(os.path.join(pdir, "*.parquet"))[0])
+    res = doc_store.compact_partition(store, "2024_01_02",
+                                      target_bytes=int(one * 3.5))
+    assert res["bins"] == 2 and res["files_after"] < res["files_before"]
+    got = doc_store.read_documents(store).to_pandas()
+    assert len(got) == 1600 and got["doc_id"].nunique() == 1600
+
+
+def test_compact_recovery_committed_and_aborted_bins(tmp_path):
+    """Journal present with one committed bin (target renamed, sources
+    still on disk) and one aborted bin (tmp staged, target missing):
+    recovery must delete the committed bin's sources and the aborted
+    bin's tmp, keeping the aborted bin's sources."""
+    import glob
+    import json
+    import shutil
+
+    store = str(tmp_path / "docs")
+    pdir = os.path.join(store, "date=2024_01_03")
+    _write_store_parts(pdir, 4, 10)
+    srcs = sorted(os.path.basename(f)
+                  for f in glob.glob(os.path.join(pdir, "*.parquet")))
+    # committed bin: target = copy of part-0000 (stands in for the merge)
+    shutil.copy(os.path.join(pdir, srcs[0]),
+                os.path.join(pdir, "compact-0-aaaa.parquet"))
+    # aborted bin: tmp staged only
+    shutil.copy(os.path.join(pdir, srcs[2]),
+                os.path.join(pdir, "compact-1-bbbb.parquet.tmp"))
+    journal = {"bins": [
+        {"target": "compact-0-aaaa.parquet", "sources": srcs[:2]},
+        {"target": "compact-1-bbbb.parquet", "sources": srcs[2:]},
+    ]}
+    with open(os.path.join(pdir, "_compact_journal.json"), "w") as f:
+        json.dump(journal, f)
+    doc_store.recover_compaction(pdir)
+    left = sorted(os.path.basename(f)
+                  for f in glob.glob(os.path.join(pdir, "*.parquet*")))
+    assert left == ["compact-0-aaaa.parquet"] + srcs[2:]
+    assert not os.path.exists(os.path.join(pdir, "_compact_journal.json"))
