@@ -1121,4 +1121,37 @@ register("dedup_semantic", lambda sf: knn_mod.semantic_dedup(sf), None)
 register("pipeline_corpus_build", q_corpus_build, None)
 register("dedup_incremental", q_dedup_incremental, SQL_DEDUP_INCREMENTAL)
 register("dedup_incremental_cuckoo", q_dedup_incremental_cuckoo, None)
+def q_char_lm_quality(sf_dir: str):
+    """Model-based quality scoring (KenLM-style, byte-bigram flavor):
+    train a Laplace-smoothed byte-bigram LM ON the corpus, broadcast
+    the 512 KiB log-prob table once (ray.put), and score every doc's
+    mean byte log-probability in one vectorized pass.
+
+    Scale shape: training is a sum-monoid over (pair_id, n) partials
+    bounded by the 65,536-pair DOMAIN (value-domain compression — the
+    shuffle never carries tokens), the final merge is a <=64k-row
+    driver pull, and scoring is a stateless map over broadcast state.
+    Rows-only (a trained-model score has no SQL oracle); the property
+    tests pin exactness of the distributed counts, batch-invariance of
+    scoring, and that in-distribution text outscores random bytes."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+    from ..stages.text import (char_bigram_pair_counts,
+                               char_lm_logprob_table, char_lm_score_batch)
+
+    counts_tbl = (corpus(sf_dir)
+                  .map_batches(lambda t: char_bigram_pair_counts(t["text"]),
+                               batch_format="pyarrow")
+                  .groupby("pair_id").aggregate(Sum("n", alias_name="n")))
+    merged = {r["pair_id"]: r["n"] for r in counts_tbl.take_all()}
+    logp_ref = _ray.put(char_lm_logprob_table(merged))
+
+    def score(t):
+        return char_lm_score_batch(t, _ray.get(logp_ref))
+
+    return corpus(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
 register("text_pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES)
+register("text_char_lm_quality", q_char_lm_quality, None)

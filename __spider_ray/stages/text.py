@@ -374,3 +374,91 @@ def quality_keep_mask(q: pa.Table):
         pc.and_(pc.greater_equal(tok, 20), pc.less_equal(tok, 80)),
         pc.and_(pc.greater_equal(pc.multiply(q["stop_n"], 50), tok),
                 pc.less_equal(pc.multiply(q["digit_tok_n"], 10), tok)))
+
+
+# ------------------------------------------------------- char-bigram LM
+
+_LM_DOMAIN = 65536                     # byte-pair ids: prev*256 + cur
+
+
+def char_bigram_pair_counts(texts: "pa.Array | pa.ChunkedArray"
+                            ) -> "pa.Table":
+    """Per-batch byte-bigram counts in LONG form (pair_id, n) — the
+    sum-monoid partial of a byte-level bigram LM.  Bounded by the
+    65,536-pair DOMAIN, never the token count, so the training shuffle
+    carries ≤64k rows per block regardless of corpus size (the same
+    value-domain compression the exact-median op uses).
+
+    Pairs never cross document boundaries: docs are joined with a NUL
+    separator and any pair touching byte 0 is masked out (NUL cannot
+    occur inside a Python str's UTF-8 encoding of real text)."""
+    texts = texts.combine_chunks() if hasattr(texts, "combine_chunks") \
+        else texts
+    joined = "\x00".join(texts.to_pylist()) if len(texts) else ""
+    b = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
+    if len(b) < 2:
+        return pa.table({"pair_id": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    prev, cur = b[:-1].astype(np.int64), b[1:].astype(np.int64)
+    valid = (prev != 0) & (cur != 0)
+    pid = prev[valid] * 256 + cur[valid]
+    uniq, cnt = np.unique(pid, return_counts=True)
+    return pa.table({"pair_id": pa.array(uniq),
+                     "n": pa.array(cnt.astype(np.int64))})
+
+
+def char_lm_logprob_table(pair_counts: "dict[int, int] | np.ndarray"
+                          ) -> np.ndarray:
+    """Laplace-smoothed log P(cur | prev) for all 65,536 byte pairs,
+    from merged bigram counts: log(count+1) − log(rowsum+256)."""
+    dense = np.zeros(_LM_DOMAIN, dtype=np.float64)
+    if isinstance(pair_counts, dict):
+        idx = np.fromiter(pair_counts.keys(), dtype=np.int64)
+        val = np.fromiter(pair_counts.values(), dtype=np.int64)
+        dense[idx] = val
+    else:
+        dense[:len(pair_counts)] = pair_counts
+    rows = dense.reshape(256, 256)
+    row_tot = rows.sum(axis=1, keepdims=True)
+    return (np.log(rows + 1.0) - np.log(row_tot + 256.0)).ravel()
+
+
+def char_lm_score_batch(t: pa.Table, logp: np.ndarray) -> pa.Table:
+    """Per-doc mean byte-bigram log-probability in MILLI-NATS (int64,
+    floor) under a broadcast LM table, plus the scored pair count.
+
+    Fully vectorized: all texts of the batch are scored in one pass
+    over the joined byte buffer; NUL-separator pairs are masked and
+    per-doc sums fall out of one reduceat over byte offsets.  Docs
+    shorter than 2 bytes score 0 with n_pairs 0."""
+    texts = t["text"].combine_chunks()
+    docs = texts.to_pylist()
+    if not docs:
+        return pa.table({"doc_id": t["doc_id"],
+                         "lm_milli_nats": pa.array([], pa.int64()),
+                         "n_pairs": pa.array([], pa.int64())})
+    enc = [d.encode("utf-8") for d in docs]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    b = np.frombuffer(b"\x00".join(enc), dtype=np.uint8)
+    if len(b) < 2:
+        zero = np.zeros(len(docs), dtype=np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "lm_milli_nats": pa.array(zero),
+                         "n_pairs": pa.array(zero)})
+    prev, cur = b[:-1].astype(np.int64), b[1:].astype(np.int64)
+    valid = (prev != 0) & (cur != 0)
+    contrib = np.where(valid, logp[prev * 256 + cur], 0.0)
+    # doc d occupies bytes [start_d, start_d + len_d); its pair
+    # positions are start_d .. start_d + len_d - 2
+    starts = np.concatenate([[0], np.cumsum(lens + 1)[:-1]])
+    bounds = np.concatenate([starts, [len(contrib)]])
+    sums = np.add.reduceat(np.concatenate([contrib, [0.0]]),
+                           np.minimum(bounds[:-1], len(contrib)))
+    sums = np.where(lens >= 2, sums, 0.0)
+    npairs = np.maximum(lens - 1, 0)
+    mean = np.where(npairs > 0, sums / np.maximum(npairs, 1), 0.0)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "lm_milli_nats": pa.array(np.floor(mean * 1000.0).astype(np.int64)),
+        "n_pairs": pa.array(npairs.astype(np.int64)),
+    })

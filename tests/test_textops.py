@@ -820,3 +820,93 @@ def test_dd_query_vs_exact(ray_session):
             est = got.loc[et, f"p{int(q * 100)}"]
             assert abs(est - exact) <= DD_ALPHA * abs(exact) + 1e-12, \
                 (et, q, est, exact)
+
+
+# ------------------------------------------------------- char-bigram LM
+
+
+def test_char_lm_distributed_counts_exact():
+    """Per-batch long-form pair counts summed across an arbitrary batch
+    split must equal direct counts over the whole corpus (sum-monoid
+    exactness, including the NUL boundary masking)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from __spider_ray.stages.text import char_bigram_pair_counts
+
+    docs = ["hello world", "weird\xe9 bytesü", "aa", "b", ""]
+
+    def merge(tables):
+        acc = {}
+        for t in tables:
+            for p, n in zip(t["pair_id"].to_pylist(), t["n"].to_pylist()):
+                acc[p] = acc.get(p, 0) + n
+        return acc
+
+    whole = merge([char_bigram_pair_counts(pa.array(docs))])
+    split = merge([char_bigram_pair_counts(pa.array(docs[:2])),
+                   char_bigram_pair_counts(pa.array(docs[2:]))])
+    assert whole == split
+    # direct reference: per-doc byte bigrams, no cross-doc pairs
+    ref = {}
+    for d in docs:
+        b = np.frombuffer(d.encode(), dtype=np.uint8)
+        for i in range(len(b) - 1):
+            k = int(b[i]) * 256 + int(b[i + 1])
+            ref[k] = ref.get(k, 0) + 1
+    assert whole == ref
+
+
+def test_char_lm_scoring_batch_invariant_and_short_docs():
+    import pyarrow as pa
+
+    from __spider_ray.stages.text import (char_bigram_pair_counts,
+                                          char_lm_logprob_table,
+                                          char_lm_score_batch)
+
+    docs = ["the quick brown fox", "", "x", "jumps over", "aaaa"]
+    counts = char_bigram_pair_counts(pa.array(docs))
+    logp = char_lm_logprob_table(
+        dict(zip(counts["pair_id"].to_pylist(), counts["n"].to_pylist())))
+
+    t_all = pa.table({"doc_id": pa.array(list(range(5)), pa.int64()),
+                      "text": pa.array(docs)})
+    one = char_lm_score_batch(t_all, logp).to_pandas()
+    parts = [char_lm_score_batch(t_all.slice(i, 1), logp).to_pandas()
+             for i in range(5)]
+    import pandas as pd
+    sep = pd.concat(parts, ignore_index=True)
+    assert one["lm_milli_nats"].tolist() == sep["lm_milli_nats"].tolist()
+    assert one["n_pairs"].tolist() == sep["n_pairs"].tolist()
+    # empty and single-char docs: zero pairs, zero score
+    assert one.loc[1, "n_pairs"] == 0 and one.loc[1, "lm_milli_nats"] == 0
+    assert one.loc[2, "n_pairs"] == 0 and one.loc[2, "lm_milli_nats"] == 0
+
+
+def test_char_lm_in_distribution_beats_random_bytes():
+    """Text sampled from the training distribution must score a higher
+    mean log-prob than uniform-random printable bytes under the same
+    LM — the separating property a quality filter relies on."""
+    import numpy as np
+    import pyarrow as pa
+
+    from __spider_ray.stages.text import (char_bigram_pair_counts,
+                                          char_lm_logprob_table,
+                                          char_lm_score_batch)
+
+    rng = np.random.default_rng(11)
+    vocab = ["data", "table", "join", "scan", "merge", "sort", "batch"]
+    train = [" ".join(rng.choice(vocab, size=40)) for _ in range(200)]
+    counts = char_bigram_pair_counts(pa.array(train))
+    logp = char_lm_logprob_table(
+        dict(zip(counts["pair_id"].to_pylist(), counts["n"].to_pylist())))
+
+    good = [" ".join(rng.choice(vocab, size=40)) for _ in range(20)]
+    junk = ["".join(chr(c) for c in rng.integers(33, 127, size=200))
+            for _ in range(20)]
+    t = pa.table({"doc_id": pa.array(list(range(40)), pa.int64()),
+                  "text": pa.array(good + junk)})
+    got = char_lm_score_batch(t, logp).to_pandas()
+    g = got["lm_milli_nats"][:20].mean()
+    j = got["lm_milli_nats"][20:].mean()
+    assert g > j + 1000, (g, j)   # ≥1 nat/byte separation
