@@ -363,3 +363,27 @@ def test_compact_recovery_committed_and_aborted_bins(tmp_path):
                   for f in glob.glob(os.path.join(pdir, "*.parquet*")))
     assert left == ["compact-0-aaaa.parquet"] + srcs[2:]
     assert not os.path.exists(os.path.join(pdir, "_compact_journal.json"))
+
+
+def test_crawl_job_entrypoint_runs_and_resumes(tmp_path):
+    """tools/crawl_job.py is the ray-job-submit entrypoint: one JSON
+    line on stdout, resumable re-run yields identical totals."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "job")
+    cmd = [sys.executable, "tools/crawl_job.py",
+           "--sf-dir", SF_SMALL, "--out", out, "--days", "2"]
+    r1 = subprocess.run(cmd + ["--fresh"], capture_output=True, text=True,
+                        check=True, cwd=os.path.dirname(os.path.dirname(
+                            os.path.abspath(__file__))))
+    lines = [l for l in r1.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1
+    m1 = json.loads(lines[0])
+    assert m1["totals"]["docs"] > 0 and m1["urls_seen"] > 0
+    r2 = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                        cwd=os.path.dirname(os.path.dirname(
+                            os.path.abspath(__file__))))
+    m2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert m2 == m1
