@@ -25,44 +25,48 @@ def register(name: str, fn: Callable[[str], Any], sql: str | None) -> None:
     _REGISTRY[name] = (fn, sql)
 
 
-def _rotation_offset() -> int:
-    """Deterministic per-round rotation key (round-4 verdict item #4).
-
-    The driver's correctness window is the first 50 registry entries;
-    with 87 oracled queries a fixed order leaves ~37 oracled queries
-    permanently outside the externally-verified window.  Rotating the
-    oracled prefix by 50 per round makes consecutive windows disjoint
-    mod len(oracled), so every oracled query gets hard driver signal
-    within two rounds.  The round key is the count of the driver's own
-    ``CORRECTNESS_r*.json`` artifacts at the repo root (0 on a fresh
-    checkout → identical to the unrotated order); ``GRAFT_ROTATION``
-    overrides for tests."""
-    import os
-    ov = os.environ.get("GRAFT_ROTATION")
-    if ov is not None:
-        try:
-            return int(ov)
-        except ValueError:
-            return 0
+def _last_sampled() -> dict[str, int]:
+    """name → most recent round whose driver correctness artifact
+    (``CORRECTNESS_r*.json`` at the repo root) contains the query.
+    Deterministic: the artifacts are committed files."""
+    import json as _json
+    import re as _re
+    from pathlib import Path
+    out: dict[str, int] = {}
     try:
-        from pathlib import Path
         root = Path(__file__).resolve().parents[2]
-        return len(list(root.glob("CORRECTNESS_r*.json")))
+        for f in sorted(root.glob("CORRECTNESS_r*.json")):
+            m = _re.search(r"r(\d+)", f.name)
+            rnd = int(m.group(1)) if m else 0
+            try:
+                names = _json.loads(f.read_text())
+            except (OSError, ValueError):
+                continue
+            for n in names:
+                out[n] = max(out.get(n, 0), rnd)
     except OSError:
-        return 0
+        pass
+    return out
 
 
 def registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
-    """All registered queries: ORACLED ONES FIRST (rotated by a
-    deterministic per-round offset so the driver's fixed 50-slot window
-    covers the whole oracled set across rounds — round-4 verdict #4),
-    rows-only queries after (stable registration order)."""
+    """All registered queries: ORACLED ONES FIRST, least recently
+    driver-sampled first (round-4 verdict item #4: the driver's hard
+    correctness signal is a fixed 50-slot window over this order, so
+    ordering by 'last round the driver checked it' — read from the
+    committed ``CORRECTNESS_r*.json`` artifacts — guarantees every
+    oracled query cycles through external verification: never-sampled
+    queries lead, freshly-sampled ones go to the back).  Rows-only
+    queries follow in stable registration order.  ``GRAFT_NO_ROTATION``
+    disables the reordering (plain registration order) for tests."""
+    import os
     _ensure_builtin()
     oracled = [kv for kv in _REGISTRY.items() if kv[1][1] is not None]
     rows_only = [kv for kv in _REGISTRY.items() if kv[1][1] is None]
-    if oracled:
-        k = (_rotation_offset() * 50) % len(oracled)
-        oracled = oracled[k:] + oracled[:k]
+    if oracled and not os.environ.get("GRAFT_NO_ROTATION"):
+        seen = _last_sampled()
+        idx = {name: i for i, (name, _) in enumerate(oracled)}
+        oracled.sort(key=lambda kv: (seen.get(kv[0], 0), idx[kv[0]]))
     return dict(oracled + rows_only)
 
 
