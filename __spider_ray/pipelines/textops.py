@@ -1155,3 +1155,81 @@ def q_char_lm_quality(sf_dir: str):
 
 register("text_pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES)
 register("text_char_lm_quality", q_char_lm_quality, None)
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, split the corpus into head/middle/tail terciles by LM
+    score — the standard recipe for perplexity-stratified sampling.
+
+    Tercile cuts are EXACT, via the same value-domain compression the
+    exact-median op uses: LM scores are already integers (milli-nats),
+    so (lang, score) counts aggregate first — bounded by the score
+    domain, not the corpus — and each language's 1/3 and 2/3 cuts come
+    from cumulative counts (lower-quantile semantics).  Pass 2 assigns
+    buckets against the broadcast per-lang cut map.  Output: (lang,
+    bucket, n_docs) counts.  Rows-only: the LM is trained state."""
+    import ray as _ray
+
+    from ray.data.aggregate import Count, Sum
+    from ..stages.text import lang_id_batch
+
+    scored = q_char_lm_quality(sf_dir)
+    # language per doc (doc_id join-free: recompute lang from the same
+    # corpus pass — lang_id is deterministic)
+    langs = corpus(sf_dir).map_batches(lang_id_batch, batch_format="pyarrow")
+
+    def key_score(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "s": t["lm_milli_nats"]})
+
+    smap = scored.map_batches(key_score, batch_format="pyarrow")
+    from ..functions.joins import hash_join
+    joined = hash_join(langs, smap, ["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"lang": t["pred_lang"], "s": t["s"]}) \
+              .group_by(["lang", "s"]).aggregate([("s", "count")])
+        return g.rename_columns(["lang", "s", "n"])
+
+    counts = (joined.map_batches(partial, batch_format="pyarrow")
+              .groupby(["lang", "s"]).aggregate(Sum("n", alias_name="n")))
+
+    def cuts_of(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "c1": pa.array([], pa.int64()),
+                             "c2": pa.array([], pa.int64())})
+        s = g["s"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.argsort(s, kind="stable")
+        s, n = s[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        def q(frac):
+            k = (total - 1) * frac
+            return int(s[np.searchsorted(cum, int(k), side="right")])
+        return pa.table({"lang": [g["lang"][0].as_py()],
+                         "c1": pa.array([q(1 / 3)], pa.int64()),
+                         "c2": pa.array([q(2 / 3)], pa.int64())})
+
+    cut_rows = counts.groupby("lang").map_groups(
+        cuts_of, batch_format="pyarrow").take_all()      # ≤ n_langs rows
+    cmap = {r["lang"]: (r["c1"], r["c2"]) for r in cut_rows}
+
+    def assign(t: pa.Table) -> pa.Table:
+        lang = t["pred_lang"].to_pylist()
+        s = t["s"].to_numpy()
+        c1 = np.array([cmap[v][0] for v in lang], dtype=np.int64)
+        c2 = np.array([cmap[v][1] for v in lang], dtype=np.int64)
+        # higher score = more in-distribution = "head" (CCNet keeps the
+        # LOW-perplexity head; milli-nat log-prob is inverted perplexity)
+        bucket = np.where(s > c2, "head",
+                          np.where(s > c1, "middle", "tail"))
+        return pa.table({"lang": t["pred_lang"].cast(pa.string()),
+                         "bucket": pa.array(bucket, pa.string())})
+
+    return (joined.map_batches(assign, batch_format="pyarrow")
+            .groupby(["lang", "bucket"])
+            .aggregate(Count(alias_name="n_docs")))
+register("text_ccnet_buckets", q_ccnet_buckets, None)

