@@ -1233,3 +1233,13 @@ def q_ccnet_buckets(sf_dir: str):
             .groupby(["lang", "bucket"])
             .aggregate(Count(alias_name="n_docs")))
 register("text_ccnet_buckets", q_ccnet_buckets, None)
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training over the corpus (30 merges;
+    see stages/bpe.py for the scale shape).  Rows-only: the merge
+    table is a learned artifact, pinned instead by a scalar-reference
+    test and determinism/convention unit tests."""
+    from ..stages.bpe import train_bpe
+    return train_bpe(corpus(sf_dir), n_merges=30)
+register("text_bpe_merges", q_bpe_merges, None)
