@@ -1243,3 +1243,23 @@ def q_bpe_merges(sf_dir: str):
     from ..stages.bpe import train_bpe
     return train_bpe(corpus(sf_dir), n_merges=30)
 register("text_bpe_merges", q_bpe_merges, None)
+
+
+def q_bpe_encode(sf_dir: str):
+    """Tokenize the corpus under the 30-merge BPE table trained on it:
+    train (distributed), broadcast the merge-rank map (tiny), encode
+    every doc in one stateless pass with per-batch distinct-word
+    memoization.  Output: per-doc BPE token and word counts."""
+    import ray as _ray
+    from ..stages.bpe import bpe_encode_batch, train_bpe
+    merges = train_bpe(corpus(sf_dir), n_merges=30)
+    ranks = {(a, b): int(r) for r, a, b in zip(
+        merges["rank"].to_pylist(), merges["left"].to_pylist(),
+        merges["right"].to_pylist())}
+    ref = _ray.put(ranks)
+
+    def enc(t):
+        return bpe_encode_batch(t, _ray.get(ref))
+
+    return corpus(sf_dir).map_batches(enc, batch_format="pyarrow")
+register("text_bpe_encode", q_bpe_encode, None)

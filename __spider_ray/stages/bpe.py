@@ -165,3 +165,46 @@ def train_bpe(ds: "ray.data.Dataset", n_merges: int,
                      "right": pa.array(b, pa.string()),
                      "merged": pa.array(m, pa.string()),
                      "pair_count": pa.array(np.array(c, dtype=np.int64))})
+
+
+def bpe_encode_batch(t: pa.Table, ranks: dict[tuple[str, str], int],
+                     text_col: str = "text") -> pa.Table:
+    """Tokenize a document batch under a learned merge table.
+
+    Classic rank-priority encoding: repeatedly merge the
+    lowest-rank adjacent pair until none applies.  Per-batch
+    memoization on DISTINCT words (a batch re-tokenizes each word
+    once, not each occurrence) keeps the Python loop on the
+    vocabulary, mirroring the trainer's cost model.  Output: doc_id,
+    n_tokens, n_words."""
+    import pyarrow.compute as pc
+    cache: dict[str, int] = {}
+
+    def encode_len(word: str) -> int:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        sym = list(word) + [END]
+        while len(sym) > 1:
+            best, bi = None, -1
+            for j in range(len(sym) - 1):
+                r = ranks.get((sym[j], sym[j + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, j
+            if best is None:
+                break
+            sym[bi:bi + 2] = [sym[bi] + sym[bi + 1]]
+        cache[word] = len(sym)
+        return len(sym)
+
+    words = pc.split_pattern(t[text_col], " ")
+    n_tok, n_w = [], []
+    for lst in words.to_pylist():
+        ws = [w for w in lst if w]
+        n_w.append(len(ws))
+        n_tok.append(sum(encode_len(w) for w in ws))
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_tokens": pa.array(np.array(n_tok, dtype=np.int64)),
+        "n_words": pa.array(np.array(n_w, dtype=np.int64)),
+    })

@@ -98,3 +98,39 @@ def test_bpe_deterministic_and_early_stop(ray_session):
     b = train_bpe(_corpus_ds(texts2), n_merges=6).to_pandas()
     assert a.equals(b)
     assert a.iloc[0]["pair_count"] >= 5   # 'to'+'k' or 'ke'+'n' family
+
+
+def test_bpe_encode_rank_priority_and_counts(ray_session):
+    """Encoding follows merge-rank priority (not left-to-right pair
+    order) and the memoized path returns per-doc token/word counts."""
+    import pyarrow as pa
+
+    from __spider_ray.stages.bpe import END, bpe_encode_batch
+
+    # ranks: ('b','c')=0 wins over ('a','b')=1 in 'abc': a + bc + </w>
+    ranks = {("b", "c"): 0, ("a", "b"): 1, ("bc", END): 2}
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["abc abc", "ab"])})
+    got = bpe_encode_batch(t, ranks).to_pandas()
+    # 'abc' -> a, bc, </w> -> rank-2 merges bc+</w> -> a, bc</w> = 2 toks
+    assert got.loc[0, "n_tokens"] == 4 and got.loc[0, "n_words"] == 2
+    # 'ab' -> ab + </w> (no rank for (ab,</w>)) = 2 tokens
+    assert got.loc[1, "n_tokens"] == 2 and got.loc[1, "n_words"] == 1
+
+
+def test_bpe_train_then_encode_compresses(ray_session):
+    """Encoding under the trained table must use fewer tokens than
+    character count + 1 per word (the merges actually apply)."""
+    texts = ["low lower lowest " * 4, "low slow glow " * 3]
+    ds = _corpus_ds(texts)
+    merges = train_bpe(ds, n_merges=10)
+    ranks = {(a, b): int(r) for r, a, b in zip(
+        merges["rank"].to_pylist(), merges["left"].to_pylist(),
+        merges["right"].to_pylist())}
+    from __spider_ray.stages.bpe import bpe_encode_batch
+    import pyarrow as pa
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["low lower glow"])})
+    got = bpe_encode_batch(t, ranks).to_pandas()
+    n_chars_plus_end = sum(len(w) + 1 for w in "low lower glow".split())
+    assert 3 <= got.loc[0, "n_tokens"] < n_chars_plus_end
