@@ -291,7 +291,12 @@ def run_crawl(
     delay_s: float = 0.0,
     burst: int = 6,
     fetch_concurrency: int | None = None,
-    fetch_batch_size: int = 4096,
+    # 16k: each fused-chain batch pays ~3 blocking actor round-trips
+    # (seen shards, robots, politeness grant); quadrupling the batch
+    # quarters the stall count per task — measured 16.4 s vs 18.8 s
+    # median at 32 CPUs on the 120-day sf0.1 job, neutral at 8 CPUs
+    # (the narrow leg is compute-bound, not stall-bound)
+    fetch_batch_size: int = 16384,
     resume: bool = True,
     max_depth: int = 1,
     n_days: int | None = None,
