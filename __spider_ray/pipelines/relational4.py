@@ -274,3 +274,102 @@ FROM w WHERE word <> '' GROUP BY lang
 register("rel_lineitem_corr", q_lineitem_corr, SQL_LINEITEM_CORR)
 register("rel_orders_mad", q_orders_mad, SQL_ORDERS_MAD)
 register("text_vocabulary", q_text_vocabulary, SQL_TEXT_VOCABULARY)
+
+
+# ----------------------------------------------- corpus split / budgeting
+
+
+def q_corpus_split(sf_dir: str):
+    """Deterministic train/val/test assignment (80/10/10 by
+    doc_id mod 10 — the reproducible-split recipe every training
+    pipeline needs) with per-(lang, split) counts.  Pure map + one tiny
+    groupby; the assignment is a total function of the key, so
+    re-running on a grown corpus never reshuffles old docs between
+    splits."""
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = t["doc_id"].to_numpy().astype(np.int64) % 10
+        split = np.where(m < 8, "train", np.where(m == 8, "val", "test"))
+        return pa.table({"lang": t["lang"],
+                         "split": pa.array(split, pa.string())})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby(["lang", "split"])
+            .aggregate(Count(alias_name="n_docs")))
+
+
+SQL_CORPUS_SPLIT = """
+SELECT lang,
+       CASE WHEN doc_id % 10 < 8 THEN 'train'
+            WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_budget_sample(sf_dir: str):
+    """Per-language char-budget selection: keep documents in doc_id
+    order until each language's running character total exceeds the
+    budget (the 'first N chars per language' corpus-sizing recipe).
+
+    One hash-bucket shuffle keyed by lang, one lexsort + cumsum per
+    bucket — the budgeted-prefix flavor of a window frame (cumulative
+    SUM ... <= budget), reported as per-lang kept counts."""
+    from ray.data.aggregate import Sum
+    from ..functions.hashing import hash64
+    BUDGET = 50_000
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (hash64(t["lang"].combine_chunks()) % np.uint64(16)) \
+            .astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def keep_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_docs_kept": pa.array([], pa.int64()),
+                             "n_chars_kept": pa.array([], pa.int64())})
+        lang = np.asarray(g["lang"].to_pylist(), dtype=object)
+        did = g["doc_id"].to_numpy().astype(np.int64)
+        nch = g["n_chars"].to_numpy().astype(np.int64)
+        order = np.lexsort((did, lang))
+        lang, did, nch = lang[order], did[order], nch[order]
+        starts = np.concatenate([[0], np.nonzero(lang[1:] != lang[:-1])[0] + 1])
+        cum = np.cumsum(nch)
+        base = np.repeat(np.concatenate([[0], cum[starts[1:] - 1]]),
+                         np.diff(np.concatenate([starts, [len(lang)]])))
+        run_cum = cum - base
+        keep = run_cum <= BUDGET
+        out_l, out_n, out_c = [], [], []
+        bounds = np.concatenate([starts, [len(lang)]])
+        for i in range(len(starts)):
+            sl = slice(bounds[i], bounds[i + 1])
+            out_l.append(lang[sl][0])
+            out_n.append(int(keep[sl].sum()))
+            out_c.append(int(run_cum[sl][keep[sl]][-1]) if keep[sl].any() else 0)
+        return pa.table({"lang": pa.array(out_l, pa.string()),
+                         "n_docs_kept": pa.array(np.array(out_n, np.int64)),
+                         "n_chars_kept": pa.array(np.array(out_c, np.int64))})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(keep_bucket, batch_format="pyarrow")
+            .select_columns(["lang", "n_docs_kept", "n_chars_kept"]))
+
+
+SQL_BUDGET_SAMPLE = """
+WITH w AS (
+  SELECT lang, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS run
+  FROM documents)
+SELECT lang, COUNT(*) FILTER (WHERE run <= 50000) AS n_docs_kept,
+       CAST(COALESCE(MAX(run) FILTER (WHERE run <= 50000), 0) AS BIGINT)
+         AS n_chars_kept
+FROM w GROUP BY lang
+"""
+
+register("text_corpus_split", q_corpus_split, SQL_CORPUS_SPLIT)
+register("text_budget_sample", q_budget_sample, SQL_BUDGET_SAMPLE)

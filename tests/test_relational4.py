@@ -75,3 +75,39 @@ def test_vocabulary_dedups_across_batches(ray_session, tmp_path):
            .sort_values("lang").reset_index(drop=True))
     assert got["n_words"].tolist() == [6, 2]
     assert got["n_vocab"].tolist() == [4, 2]
+
+
+def test_corpus_split_deterministic_and_partitioned(ray_session, tmp_path):
+    t = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "lang": pa.array(["en"] * 40),
+        "text": pa.array(["x"] * 40),
+        "source": pa.array(["s"] * 40),
+        "n_chars": pa.array([1] * 40, pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    from __spider_ray.pipelines.relational4 import q_corpus_split
+    got = q_corpus_split(str(tmp_path)).to_pandas().set_index("split")
+    assert got.loc["train", "n_docs"] == 32
+    assert got.loc["val", "n_docs"] == 4
+    assert got.loc["test", "n_docs"] == 4
+
+
+def test_budget_sample_prefix_semantics(ray_session, tmp_path):
+    # en docs (id asc): 20k, 20k, 20k chars, budget 50k -> keep 2 (40k)
+    # fr: one 60k doc -> overshoots immediately -> keep 0
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 10], pa.int64()),
+        "lang": pa.array(["en", "en", "en", "fr"]),
+        "text": pa.array(["x"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([20000, 20000, 20000, 60000], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    from __spider_ray.pipelines.relational4 import q_budget_sample
+    got = (q_budget_sample(str(tmp_path)).to_pandas()
+           .set_index("lang"))
+    assert got.loc["en", "n_docs_kept"] == 2
+    assert got.loc["en", "n_chars_kept"] == 40000
+    assert got.loc["fr", "n_docs_kept"] == 0
+    assert got.loc["fr", "n_chars_kept"] == 0
